@@ -1,0 +1,159 @@
+"""Distance penalties between adversarial and original clouds.
+
+Behavioral twins of reference attack/CW/CW_utils/dist_utils.py and
+distance.py.  All take channels-last clouds [B, N, 3] and return per-example
+[B] values; weighting/averaging happens in the attack engine.
+
+The Chamfer/Hausdorff core is one fused pairwise-sqdist + row/col reduce —
+on TPU the [N, M] matrix lives in registers/VMEM tiles of a single XLA
+fusion (or the Pallas kernel for large N), never fully in HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist, self_sqdist
+
+
+def l2_dist(adv: jax.Array, ori: jax.Array) -> jax.Array:
+    """Global L2 norm of the perturbation, [B].
+
+    Reference attack/CW/CW_utils/dist_utils.py:9-35.
+    """
+    return jnp.sqrt(jnp.sum((adv - ori) ** 2, axis=(1, 2)))
+
+
+def chamfer_both(adv: jax.Array, ori: jax.Array):
+    """(adv->ori, ori->adv) mean-of-min squared distances, each [B].
+
+    Reference attack/CW/CW_utils/distance.py:35-50.
+    """
+    d = pairwise_sqdist(adv, ori)  # [B, Na, No]
+    return jnp.mean(jnp.min(d, axis=2), axis=1), jnp.mean(
+        jnp.min(d, axis=1), axis=1
+    )
+
+
+def chamfer_dist(
+    adv: jax.Array, ori: jax.Array, method: str = "adv2ori"
+) -> jax.Array:
+    """Single-direction or symmetric Chamfer distance, [B]."""
+    a2o, o2a = chamfer_both(adv, ori)
+    if method == "adv2ori":
+        return a2o
+    if method == "ori2adv":
+        return o2a
+    return 0.5 * (a2o + o2a)
+
+
+def hausdorff_both(adv: jax.Array, ori: jax.Array):
+    """(adv->ori, ori->adv) max-of-min squared distances, each [B].
+
+    Reference attack/CW/CW_utils/distance.py:53-70.
+    """
+    d = pairwise_sqdist(adv, ori)
+    return jnp.max(jnp.min(d, axis=2), axis=1), jnp.max(
+        jnp.min(d, axis=1), axis=1
+    )
+
+
+def hausdorff_dist(
+    adv: jax.Array, ori: jax.Array, method: str = "adv2ori"
+) -> jax.Array:
+    a2o, o2a = hausdorff_both(adv, ori)
+    if method == "adv2ori":
+        return a2o
+    if method == "ori2adv":
+        return o2a
+    return 0.5 * (a2o + o2a)
+
+
+def knn_outlier_dist(
+    pc: jax.Array, k: int = 5, alpha: float = 1.05
+) -> jax.Array:
+    """AAAI'20 kNN smoothness penalty, [B].
+
+    Mean kNN distance per point; points whose mean exceeds
+    mean + alpha * std (per cloud, gradient-stopped) are penalized.
+    Reference attack/CW/CW_utils/dist_utils.py:112-160.
+    """
+    d = self_sqdist(pc)  # [B, N, N]
+    neg, _ = jax.lax.top_k(-d, k + 1)  # self is nearest
+    value = jnp.mean(-neg[..., 1:], axis=-1)  # [B, N]
+    mean = jnp.mean(value, axis=-1, keepdims=True)
+    std = jnp.std(value, axis=-1, keepdims=True, ddof=1)
+    mask = jax.lax.stop_gradient(
+        (value > mean + alpha * std).astype(pc.dtype)
+    )
+    return jnp.mean(value * mask, axis=-1)
+
+
+def chamfer_knn_dist(
+    adv: jax.Array,
+    ori: jax.Array,
+    chamfer_method: str = "adv2ori",
+    knn_k: int = 5,
+    knn_alpha: float = 1.05,
+    chamfer_weight: float = 5.0,
+    knn_weight: float = 3.0,
+) -> jax.Array:
+    """Chamfer + kNN combo of the AAAI'20 attack, [B].
+
+    Reference attack/CW/CW_utils/dist_utils.py:189-223.
+    """
+    return chamfer_weight * chamfer_dist(
+        adv, ori, chamfer_method
+    ) + knn_weight * knn_outlier_dist(adv, k=knn_k, alpha=knn_alpha)
+
+
+def farthest_cluster_dist(clusters: jax.Array) -> jax.Array:
+    """Sum over clusters of the farthest intra-cluster pair distance, [B].
+
+    Args:
+      clusters: [B, num_add, cl_num_p, 3] added clusters.
+
+    Reference attack/CW/CW_utils/dist_utils.py:226-253 (adds 1e-7 before
+    the norm to keep the sqrt differentiable at zero).
+    """
+    delta = (
+        clusters[:, :, None, :, :] - clusters[:, :, :, None, :] + 1e-7
+    )  # [B, A, P, P, 3]
+    norm = jnp.sqrt(jnp.sum(delta**2, axis=-1))
+    far = jnp.max(jnp.max(norm, axis=2), axis=2)  # [B, A]
+    return jnp.sum(far, axis=1)
+
+
+def far_chamfer_dist(
+    added: jax.Array,
+    ori: jax.Array,
+    num_add: int,
+    chamfer_method: str = "adv2ori",
+    chamfer_weight: float = 0.1,
+) -> jax.Array:
+    """Farthest + Chamfer combo for cluster-adding attacks, [B].
+
+    Reference attack/CW/CW_utils/dist_utils.py:256-291.
+    """
+    b = added.shape[0]
+    cd = chamfer_dist(added, ori, chamfer_method)
+    clusters = added.reshape(b, num_add, -1, 3)
+    return farthest_cluster_dist(clusters) + chamfer_weight * cd
+
+
+def l2_chamfer_dist(
+    adv_pc: jax.Array,
+    ori_pc: jax.Array,
+    adv_obj: jax.Array,
+    ori_obj: jax.Array,
+    chamfer_weight: float = 0.2,
+) -> jax.Array:
+    """L2-on-objects + Chamfer-on-cloud combo for object-adding attacks, [B].
+
+    Reference attack/CW/CW_utils/dist_utils.py:294-333.
+    """
+    b = adv_pc.shape[0]
+    cd = chamfer_dist(adv_pc, ori_pc)
+    l2 = l2_dist(adv_obj.reshape(b, -1, 3), ori_obj.reshape(b, -1, 3))
+    return l2 + chamfer_weight * cd

@@ -1,0 +1,103 @@
+"""Geometry-aware losses of the GeoA3 attack.
+
+Behavioral twins of reference attack/GeoA3/loss_utils.py.  All channels-last
+[B, N, 3]; curvature "kappa" is the mean absolute projection of normalized
+neighbour offsets onto the point normal.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pointcloudattack_tpu.ops.gather import index_points
+from pointcloudattack_tpu.ops.knn import knn_points
+
+
+def _neighbour_offsets(pc: jax.Array, nbrs: jax.Array, idx: jax.Array):
+    """[B, N, k, 3] offsets from each point to its k neighbours."""
+    gathered = index_points(nbrs, idx)
+    return gathered - pc[:, :, None, :]
+
+
+def kappa_ori(pc: jax.Array, normal: jax.Array, k: int = 2) -> jax.Array:
+    """Curvature proxy of the clean cloud, [B, N].
+
+    Reference attack/GeoA3/loss_utils.py:60-70 (kNN over self, excluding
+    self, normalized offsets projected on the normal).
+    """
+    _, idx = knn_points(pc, pc, k=k, exclude_self=True)
+    vec = _neighbour_offsets(pc, pc, idx)  # [B, N, k, 3]
+    vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
+    return jnp.mean(
+        jnp.abs(jnp.sum(vec * normal[:, :, None, :], axis=-1)), axis=-1
+    )
+
+
+def kappa_adv(
+    adv: jax.Array, ori: jax.Array, ori_normal: jax.Array, k: int = 2
+):
+    """Curvature proxy of the adversarial cloud + its projected normals.
+
+    Each adv point borrows the normal of its nearest clean point
+    (reference attack/GeoA3/loss_utils.py:72-90).
+
+    Returns (kappa [B, N], normal [B, N, 3]).
+    """
+    _, nn_idx = knn_points(adv, ori, k=1)
+    normal = index_points(ori_normal, nn_idx[..., 0])  # [B, N, 3]
+    _, idx = knn_points(adv, adv, k=k, exclude_self=True)
+    vec = _neighbour_offsets(adv, adv, idx)
+    vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
+    kappa = jnp.mean(
+        jnp.abs(jnp.sum(vec * normal[:, :, None, :], axis=-1)), axis=-1
+    )
+    return kappa, normal
+
+
+def curvature_loss(
+    adv: jax.Array,
+    ori: jax.Array,
+    adv_kappa: jax.Array,
+    ori_kappa: jax.Array,
+) -> jax.Array:
+    """Mean squared curvature mismatch, adv point vs nearest clean point, [B].
+
+    Reference attack/GeoA3/loss_utils.py:92-105.
+    """
+    _, nn_idx = knn_points(adv, ori, k=1)
+    matched = jnp.take_along_axis(ori_kappa, nn_idx[..., 0], axis=1)
+    return jnp.mean((adv_kappa - matched) ** 2, axis=-1)
+
+
+def displacement_loss(
+    adv: jax.Array, ori: jax.Array, k: int = 16
+) -> jax.Array:
+    """Neighbourhood-coherence penalty on displacements, [B].
+
+    Reference attack/GeoA3/loss_utils.py:107-115: each point's displacement
+    should agree with the displacements of its clean-cloud neighbours.
+    """
+    _, idx = knn_points(ori, ori, k=k, exclude_self=True)
+    disp = adv - ori  # [B, N, 3]
+    nbr_disp = index_points(disp, idx)  # [B, N, k, 3]
+    return jnp.mean(
+        jnp.sum((disp[:, :, None, :] - nbr_disp) ** 2, axis=-1), axis=(1, 2)
+    )
+
+
+def knn_smoothing_loss(
+    adv: jax.Array, k: int = 5, threshold_coef: float = 1.1
+) -> jax.Array:
+    """Mean kNN distance of points above a stop-gradient threshold, [B].
+
+    Reference attack/GeoA3/loss_utils.py:143-157.
+    """
+    dists, _ = knn_points(adv, adv, k=k, exclude_self=True)
+    value = jnp.mean(dists, axis=-1)  # [B, N]
+    mean = jnp.mean(value, axis=-1, keepdims=True)
+    std = jnp.std(value, axis=-1, keepdims=True, ddof=1)
+    mask = jax.lax.stop_gradient(
+        (value > mean + threshold_coef * std).astype(adv.dtype)
+    )
+    return jnp.mean(value * mask, axis=-1)

@@ -1,0 +1,50 @@
+"""Radius-ball neighbourhood query with static shapes.
+
+Reproduces the reference's exact fill semantics
+(reference model/pointnet2_utils.py:84-104): take the first ``nsample``
+in-radius points *in index order*, and pad short neighbourhoods by
+repeating the first in-radius index.  The reference gets "first nsample in
+index order" by setting out-of-radius entries to N and sorting; here the
+same ordering comes from top_k over a rank key that is the point index for
+in-radius points and N for the rest — no [B, S, N] sort materialized.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
+
+
+def query_ball_point(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+) -> jax.Array:
+    """Group up to ``nsample`` points within ``radius`` of each query.
+
+    Args:
+      radius: ball radius.
+      nsample: static group size.
+      xyz: [B, N, 3] all points.
+      new_xyz: [B, S, 3] query centroids.
+
+    Returns:
+      [B, S, nsample] int32 indices into N.
+    """
+    n = xyz.shape[1]
+    sqr = pairwise_sqdist(new_xyz, xyz)  # [B, S, N]
+    point_idx = jnp.arange(n, dtype=jnp.int32)  # [N]
+    in_ball = sqr <= radius * radius
+    # Rank key: index for in-ball points, N for the rest -> top_k(-key)
+    # yields the nsample smallest-index in-ball points, then fillers.
+    rank = jnp.where(in_ball, point_idx, n).astype(jnp.int32)
+    neg_smallest, _ = jax.lax.top_k(-rank, nsample)  # [B, S, nsample]
+    group_idx = -neg_smallest
+    # Pad slots (value n) repeat the first in-ball index; if the ball is
+    # empty the reference also degenerates to index 0 via its sort.
+    first = group_idx[..., :1]
+    first = jnp.where(first == n, 0, first)
+    return jnp.where(group_idx == n, first, group_idx)
