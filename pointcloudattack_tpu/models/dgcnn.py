@@ -1,0 +1,97 @@
+"""Dynamic Graph CNN classifier.
+
+TPU-native re-design of reference model/dgcnn.py:262-328: four EdgeConv
+stages, each rebuilding a kNN graph in feature space; edge features
+``[x_j - x_i, x_i]`` go through a per-edge MLP (MXU matmul over the
+[B, N, k, 2C] tensor) and max over neighbours.  Global max+avg pooled
+embeddings feed the LeakyReLU(0.2) FC head; output is log-softmax.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointcloudattack_tpu.ops.gather import index_points
+from pointcloudattack_tpu.ops.knn import knn
+
+
+def graph_feature(x: jax.Array, k: int) -> jax.Array:
+    """Edge features of the kNN graph: [B, N, k, 2C].
+
+    Reference model/dgcnn.py:203-227 (concat of [neighbour - center,
+    center]).
+    """
+    idx = knn(x, k)  # [B, N, k], self included as in the reference
+    nbr = index_points(x, idx)  # [B, N, k, C]
+    ctr = jnp.broadcast_to(x[:, :, None, :], nbr.shape)
+    return jnp.concatenate([nbr - ctr, ctr], axis=-1)
+
+
+class EdgeConv(nn.Module):
+    """kNN graph -> per-edge Dense+BN+LeakyReLU -> max over neighbours."""
+
+    features: int
+    k: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        e = graph_feature(x, self.k)  # [B, N, k, 2C]
+        h = nn.Dense(self.features, use_bias=False)(e)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5
+        )(h)
+        h = nn.leaky_relu(h, negative_slope=0.2)
+        return jnp.max(h, axis=2)  # [B, N, features]
+
+
+class DGCNN(nn.Module):
+    """DGCNN classifier. Returns (log_probs, aux).
+
+    Defaults follow the reference CLI flags: k=20, emb_dims=1024,
+    dropout=0.5 (reference train.py:53-57).
+    """
+
+    num_classes: int = 40
+    k: int = 20
+    emb_dims: int = 1024
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        # x: [B, N, 3]
+        x1 = EdgeConv(64, self.k, name="conv1")(x, train=train)
+        x2 = EdgeConv(64, self.k, name="conv2")(x1, train=train)
+        x3 = EdgeConv(128, self.k, name="conv3")(x2, train=train)
+        x4 = EdgeConv(256, self.k, name="conv4")(x3, train=train)
+        cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 512]
+
+        h = nn.Dense(self.emb_dims, use_bias=False, name="conv5")(cat)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="bn5",
+        )(h)
+        h = nn.leaky_relu(h, negative_slope=0.2)  # [B, N, emb]
+
+        gmax = jnp.max(h, axis=1)
+        gavg = jnp.mean(h, axis=1)
+        g = jnp.concatenate([gmax, gavg], axis=-1)  # [B, 2*emb]
+
+        g = nn.Dense(512, use_bias=False, name="linear1")(g)
+        g = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="bn6",
+        )(g)
+        g = nn.leaky_relu(g, negative_slope=0.2)
+        g = nn.Dropout(self.dropout, deterministic=not train)(g)
+        g = nn.Dense(256, name="linear2")(g)
+        g = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="bn7",
+        )(g)
+        g = nn.leaky_relu(g, negative_slope=0.2)
+        g = nn.Dropout(self.dropout, deterministic=not train)(g)
+        logits = nn.Dense(self.num_classes, name="linear3")(g)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        return log_probs, {}

@@ -1,0 +1,218 @@
+"""PointNet++ SSG / MSG classifiers.
+
+TPU-native re-design of reference model/pointnet2_SSG.py:230-254 and
+model/pointnet2_MSG.py:194-227 on top of the ops layer: FPS is a lax.scan,
+ball query and grouping are fully batched gathers, and each set-abstraction
+MLP is an MXU matmul over the [B, S, nsample, C] grouped tensor.
+
+FPS seeding: the reference randomizes the FPS start point every forward
+(model/pointnet2_utils.py:72).  Here the start index comes from an optional
+``fps_key``; None pins it to point 0 for deterministic eval/attack runs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointcloudattack_tpu.models.common import PointMLP
+from pointcloudattack_tpu.ops.ball_query import query_ball_point
+from pointcloudattack_tpu.ops.fps import farthest_point_sample
+from pointcloudattack_tpu.ops.gather import index_points
+from pointcloudattack_tpu.ops.grouping import (
+    sample_and_group,
+    sample_and_group_all,
+)
+
+
+class SetAbstraction(nn.Module):
+    """Single-scale set abstraction: FPS -> ball group -> MLP -> max."""
+
+    npoint: int | None
+    radius: float | None
+    nsample: int | None
+    mlp: Sequence[int]
+    group_all: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,
+        points: jax.Array | None,
+        train: bool = False,
+        fps_key: jax.Array | None = None,
+    ):
+        if self.group_all:
+            new_xyz, grouped = sample_and_group_all(xyz, points)
+        else:
+            new_xyz, grouped = sample_and_group(
+                self.npoint, self.radius, self.nsample, xyz, points,
+                key=fps_key,
+            )
+        # grouped: [B, S, K, C] -> per-point MLP -> max over K
+        h = PointMLP(self.mlp, name="mlp")(grouped, train=train)
+        return new_xyz, jnp.max(h, axis=2)
+
+
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale grouping set abstraction."""
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,
+        points: jax.Array | None,
+        train: bool = False,
+        fps_key: jax.Array | None = None,
+    ):
+        fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+        new_xyz = index_points(xyz, fps_idx)
+        outs = []
+        for i, (radius, k) in enumerate(
+            zip(self.radius_list, self.nsample_list)
+        ):
+            idx = query_ball_point(radius, k, xyz, new_xyz)
+            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if points is not None:
+                grouped_pts = index_points(points, idx)
+                grouped = jnp.concatenate(
+                    [grouped_pts, grouped_xyz], axis=-1
+                )
+            else:
+                grouped = grouped_xyz
+            h = PointMLP(self.mlp_list[i], name=f"branch{i}")(
+                grouped, train=train
+            )
+            outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """3-NN inverse-distance upsampling + unit MLP (segmentation / PU-Net).
+
+    Reference model/pointnet2_utils.py:262-312.
+    """
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz_dst: jax.Array,
+        xyz_src: jax.Array,
+        feat_dst: jax.Array | None,
+        feat_src: jax.Array,
+        train: bool = False,
+    ):
+        from pointcloudattack_tpu.ops.interpolate import three_nn_interpolate
+
+        n = xyz_dst.shape[1]
+        if xyz_src.shape[1] == 1:
+            interp = jnp.repeat(feat_src, n, axis=1)
+        else:
+            interp = three_nn_interpolate(xyz_dst, xyz_src, feat_src)
+        if feat_dst is not None:
+            interp = jnp.concatenate([feat_dst, interp], axis=-1)
+        return PointMLP(self.mlp, name="mlp")(interp, train=train)
+
+
+class _ClsHead(nn.Module):
+    """Shared 1024 -> 512 -> 256 -> k head with dropout."""
+
+    num_classes: int
+    drop1: float = 0.4
+    drop2: float = 0.4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = PointMLP([512], name="fc1")(x, train=train)
+        x = nn.Dropout(self.drop1, deterministic=not train)(x)
+        x = PointMLP([256], name="fc2")(x, train=train)
+        x = nn.Dropout(self.drop2, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, name="fc3")(x)
+
+
+class PointNet2SSG(nn.Module):
+    """PointNet++ single-scale-grouping classifier.
+
+    Reference model/pointnet2_SSG.py:230-254 (SA 512/.2/32 -> SA 128/.4/64
+    -> SA group-all -> FC head, log-softmax output).
+    """
+
+    num_classes: int = 40
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,
+        train: bool = False,
+        fps_key: jax.Array | None = None,
+    ):
+        keys = (
+            jax.random.split(fps_key, 2) if fps_key is not None else (None, None)
+        )
+        l1_xyz, l1 = SetAbstraction(512, 0.2, 32, [64, 64, 128], name="sa1")(
+            xyz, None, train=train, fps_key=keys[0]
+        )
+        l2_xyz, l2 = SetAbstraction(128, 0.4, 64, [128, 128, 256], name="sa2")(
+            l1_xyz, l1, train=train, fps_key=keys[1]
+        )
+        _, l3 = SetAbstraction(
+            None, None, None, [256, 512, 1024], group_all=True, name="sa3"
+        )(l2_xyz, l2, train=train)
+        x = l3[:, 0, :]  # [B, 1024]
+        logits = _ClsHead(self.num_classes, name="head")(x, train=train)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        return log_probs, {}
+
+
+class PointNet2MSG(nn.Module):
+    """PointNet++ multi-scale-grouping classifier.
+
+    Reference model/pointnet2_MSG.py:194-227 with normal_channel=False
+    (the only configuration the reference CLIs use, train.py:100).
+    """
+
+    num_classes: int = 40
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,
+        train: bool = False,
+        fps_key: jax.Array | None = None,
+    ):
+        keys = (
+            jax.random.split(fps_key, 2) if fps_key is not None else (None, None)
+        )
+        l1_xyz, l1 = SetAbstractionMSG(
+            512,
+            [0.1, 0.2, 0.4],
+            [16, 32, 128],
+            [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
+            name="sa1",
+        )(xyz, None, train=train, fps_key=keys[0])
+        l2_xyz, l2 = SetAbstractionMSG(
+            128,
+            [0.2, 0.4, 0.8],
+            [32, 64, 128],
+            [[64, 64, 128], [128, 128, 256], [128, 128, 256]],
+            name="sa2",
+        )(l1_xyz, l1, train=train, fps_key=keys[1])
+        _, l3 = SetAbstraction(
+            None, None, None, [256, 512, 1024], group_all=True, name="sa3"
+        )(l2_xyz, l2, train=train)
+        x = l3[:, 0, :]
+        logits = _ClsHead(self.num_classes, drop2=0.5, name="head")(
+            x, train=train
+        )
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        return log_probs, {}

@@ -1,0 +1,109 @@
+"""Model forward/backward sanity tests (CPU, small clouds)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloudattack_tpu import models
+
+NUM_CLASSES = 7
+
+
+def make(name, **kw):
+    model = models.make_model(name, NUM_CLASSES, **kw)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=256, batch=2
+    )
+    return model, variables
+
+
+def cloud(b=2, n=256):
+    rng = np.random.RandomState(3)
+    return jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+
+
+@pytest.mark.parametrize("name", models.MODEL_NAMES)
+def test_forward_shape_and_finite(name):
+    if name == "CurveNet":
+        pytest.skip("covered in test_curvenet_forward (npoint config)")
+    model, variables = make(name)
+    out, aux = model.apply(variables, cloud(), train=False)
+    assert out.shape == (2, NUM_CLASSES)
+    assert np.all(np.isfinite(np.asarray(out)))
+    if models.OUTPUT_KIND[name] == "log_probs":
+        probs = np.exp(np.asarray(out))
+        np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-4)
+
+
+def test_curvenet_forward():
+    # CurveNet's CIC chain expects >=1024 input points (npoint=1024 stages)
+    model = models.make_model("CurveNet", NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=1024, batch=1
+    )
+    out, _ = model.apply(variables, cloud(b=1, n=1024), train=False)
+    assert out.shape == (1, NUM_CLASSES)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("name", ["PointNet", "DGCNN"])
+def test_input_gradients_flow(name):
+    """Attacks need d loss / d input — check it is finite and nonzero."""
+    model, variables = make(name)
+    x = cloud()
+
+    def loss(inp):
+        out, _ = model.apply(variables, inp, train=False)
+        return out[:, 0].sum()
+
+    g = jax.grad(loss)(x)
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).max() > 0
+
+
+def test_pointnet_stn_is_identity_at_init():
+    """Zero-init STN head -> transform starts as the identity matrix."""
+    model, variables = make("PointNet")
+    _, aux = model.apply(variables, cloud(), train=False)
+    trans = np.asarray(aux["trans"])
+    np.testing.assert_allclose(
+        trans, np.broadcast_to(np.eye(3), trans.shape), atol=1e-5
+    )
+
+
+def test_pointnet_permutation_invariance():
+    model, variables = make("PointNet")
+    x = cloud(b=1)
+    perm = np.random.RandomState(0).permutation(256)
+    out1, _ = model.apply(variables, x, train=False)
+    out2, _ = model.apply(variables, x[:, perm], train=False)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out2), atol=1e-4
+    )
+
+
+def test_feature_transform_regularizer():
+    eye = jnp.broadcast_to(jnp.eye(3), (4, 3, 3))
+    assert float(models.feature_transform_regularizer(eye)) < 1e-6
+    skew = eye + 0.5
+    assert float(models.feature_transform_regularizer(skew)) > 0.1
+
+
+def test_train_mode_updates_batch_stats():
+    model, variables = make("PointNet")
+    out, new_state = model.apply(
+        variables,
+        cloud(),
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(old, new)
+    )
+    assert changed
