@@ -1,0 +1,27 @@
+from pointcloudattack_tpu.geometry.normals import (
+    estimate_normal,
+    estimate_normal_via_ori_normal,
+    estimate_perpendicular_jitter,
+)
+from pointcloudattack_tpu.geometry.spectral import (
+    graph_laplacian,
+    spectral_split,
+    spectral_project,
+)
+from pointcloudattack_tpu.geometry.tangent import (
+    spin_axis_matrix,
+    to_tangent_frame,
+    from_tangent_frame,
+)
+
+__all__ = [
+    "estimate_normal",
+    "estimate_normal_via_ori_normal",
+    "estimate_perpendicular_jitter",
+    "graph_laplacian",
+    "spectral_split",
+    "spectral_project",
+    "spin_axis_matrix",
+    "to_tangent_frame",
+    "from_tangent_frame",
+]

@@ -1,0 +1,113 @@
+"""Geometry subsystem tests: normals, spectral split, tangent frames."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointcloudattack_tpu import geometry
+
+RNG = np.random.RandomState(11)
+
+
+def plane_cloud(n=128, normal=(0.0, 0.0, 1.0)):
+    """Points on a plane through the origin with the given normal."""
+    normal = np.float32(normal) / np.linalg.norm(normal)
+    # basis of the plane
+    a = np.float32([1, 0, 0])
+    if abs(normal[0]) > 0.9:
+        a = np.float32([0, 1, 0])
+    u = np.cross(normal, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(normal, u)
+    coeff = RNG.randn(n, 2).astype(np.float32)
+    pts = coeff[:, :1] * u + coeff[:, 1:2] * v
+    return pts.astype(np.float32)[None], normal
+
+
+class TestNormals:
+    def test_plane_normals(self):
+        pts, true_n = plane_cloud()
+        out = np.asarray(geometry.estimate_normal(jnp.asarray(pts), k=8))[0]
+        cos = np.abs(out @ true_n)
+        np.testing.assert_allclose(cos, 1.0, atol=1e-3)
+
+    def test_unit_norm(self):
+        pc = jnp.asarray(RNG.randn(2, 64, 3).astype(np.float32))
+        out = np.asarray(geometry.estimate_normal(pc, k=6))
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=-1), 1.0, atol=1e-4
+        )
+
+    def test_via_ori_normal_unmoved(self):
+        pc = jnp.asarray(RNG.randn(1, 32, 3).astype(np.float32))
+        normal = geometry.estimate_normal(pc, k=6)
+        borrowed = geometry.estimate_normal_via_ori_normal(
+            pc, pc, normal, k=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(borrowed), np.asarray(normal), atol=1e-5
+        )
+
+    def test_perpendicular_jitter_in_tangent_plane(self):
+        pts, true_n = plane_cloud()
+        jit = np.asarray(
+            geometry.estimate_perpendicular_jitter(
+                jnp.asarray(pts), k=8, key=jax.random.PRNGKey(0)
+            )
+        )[0]
+        # jitter must be (near-)orthogonal to the plane normal
+        proj = np.abs(jit @ true_n)
+        assert proj.max() < 1e-4
+
+
+class TestSpectral:
+    def test_split_reconstructs(self):
+        pc = jnp.asarray(RNG.randn(2, 48, 3).astype(np.float32))
+        evals, evecs = geometry.graph_laplacian(pc, k=10)
+        lfc, hfc = geometry.spectral_split(pc, evecs, low_pass=12)
+        np.testing.assert_allclose(
+            np.asarray(lfc + hfc), np.asarray(pc), atol=1e-4
+        )
+
+    def test_laplacian_psd_and_ordered(self):
+        pc = jnp.asarray(RNG.randn(1, 48, 3).astype(np.float32))
+        evals, _ = geometry.graph_laplacian(pc, k=10)
+        e = np.asarray(evals)[0]
+        assert e.min() > -1e-4  # PSD up to float error
+        assert np.all(np.diff(e) >= -1e-5)  # ascending
+
+    def test_constant_vector_in_kernel(self):
+        pc = jnp.asarray(RNG.randn(1, 48, 3).astype(np.float32))
+        evals, evecs = geometry.graph_laplacian(pc, k=10)
+        # smallest eigenvalue ~ 0 with constant eigenvector
+        assert abs(float(evals[0, 0])) < 1e-3
+
+
+class TestTangent:
+    def test_frame_orthonormal(self):
+        n = RNG.randn(1, 64, 3).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        u = np.asarray(geometry.spin_axis_matrix(jnp.asarray(n)))
+        prod = np.einsum("bnij,bnkj->bnik", u, u)
+        np.testing.assert_allclose(
+            prod, np.broadcast_to(np.eye(3), prod.shape), atol=1e-4
+        )
+
+    def test_pole_case(self):
+        n = np.float32([[[0, 0, 1]], [[0, 0, -1]]])  # [2, 1, 3]
+        u = np.asarray(geometry.spin_axis_matrix(jnp.asarray(n)))
+        assert np.all(np.isfinite(u))
+        prod = np.einsum("bnij,bnkj->bnik", u, u)
+        np.testing.assert_allclose(
+            prod, np.broadcast_to(np.eye(3), prod.shape), atol=1e-4
+        )
+
+    def test_roundtrip(self):
+        pts = jnp.asarray(RNG.randn(1, 64, 3).astype(np.float32))
+        n = RNG.randn(1, 64, 3).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        new_pts, u, tr = geometry.to_tangent_frame(pts, jnp.asarray(n))
+        back = geometry.from_tangent_frame(new_pts, u, tr)
+        np.testing.assert_allclose(
+            np.asarray(back), np.asarray(pts), atol=1e-4
+        )
