@@ -1,0 +1,161 @@
+"""AOF / TAOF: frequency-domain attack on the low-pass component.
+
+Behavioral twin of reference attack/AOF/TAOF_attack.py:83-244 (targeted)
+and the inline untargeted loop of attack/AOF/Eval_AOF.py:118-262:
+
+  1. per binary round, eigendecompose the cloud's kNN-Gaussian Laplacian
+     (once — the eigenbasis is frozen for the round);
+  2. split the cloud into low/high-frequency parts; optimize ONLY the
+     low-frequency part with a blended loss
+         (1-GAMMA) * adv(model(lfc + hfc)) + GAMMA * adv(model(lfc));
+  3. after each Adam step clip the recombined cloud and re-project it
+     onto the frozen eigenbasis.
+
+Best tracking keeps the lowest-L2 iterate that fools the model; TAOF
+additionally requires the low-frequency part alone to not classify as the
+true label (TAOF_attack.py:205-211).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pointcloudattack_tpu.constraints.clip import clip_points_linf
+from pointcloudattack_tpu.geometry.spectral import (
+    graph_laplacian,
+    spectral_split,
+)
+from pointcloudattack_tpu.losses.adv import (
+    cross_entropy_adv_loss,
+    logits_adv_loss,
+    untargeted_logits_adv_loss,
+)
+from pointcloudattack_tpu.losses.distance import l2_dist
+
+
+@dataclasses.dataclass(frozen=True)
+class AOFConfig:
+    """Reference defaults: TAOF_attack.py:59-67, Eval_AOF flags."""
+
+    attack_lr: float = 1e-2
+    binary_step: int = 2
+    num_iter: int = 200
+    gamma: float = 0.5  # blend between full and lfc adv loss
+    low_pass: int = 100
+    knn_k: int = 30
+    budget: float = 0.18
+    kappa: float = 30.0
+    targeted: bool = False
+    adv_func: str = "logits"
+    init_noise_scale: float = 1e-7
+
+
+def build_aof_attack(model_fn, cfg: AOFConfig):
+    """Compiled (data, target, key, y_truth?) -> (adv, best_dist, success).
+
+    ``target``: attack target (targeted) or true label (untargeted).
+    ``y_truth``: true labels, required for the targeted TAOF success rule.
+    """
+    if cfg.adv_func == "logits":
+        if cfg.targeted:
+            adv_fn = lambda lg, t: logits_adv_loss(lg, t, cfg.kappa)
+        else:
+            adv_fn = lambda lg, t: untargeted_logits_adv_loss(lg, t, cfg.kappa)
+    else:
+        adv_fn = (
+            cross_entropy_adv_loss
+            if cfg.targeted
+            else lambda lg, t: -cross_entropy_adv_loss(lg, t)
+        )
+
+    opt = optax.adam(cfg.attack_lr)
+
+    @jax.jit
+    def run(data, target, key, y_truth=None):
+        b, n, _ = data.shape
+        ori = data
+        yt = target if y_truth is None else y_truth
+
+        def binary_round(carry, k):
+            o_bestdist, o_bestattack, o_bestscore, last = carry
+            noise = (
+                jax.random.normal(k, ori.shape, dtype=ori.dtype)
+                * cfg.init_noise_scale
+            )
+            adv = ori + noise
+            _, evecs = graph_laplacian(adv, k=cfg.knn_k)
+            lfc, hfc = spectral_split(adv, evecs, cfg.low_pass)
+
+            def step(carry, _):
+                lfc, opt_state, best = carry
+                o_bestdist, o_bestattack, o_bestscore = best
+
+                def loss_fn(l):
+                    full_logits = model_fn(l + hfc)
+                    lfc_logits = model_fn(l)
+                    return jnp.sum(
+                        (1.0 - cfg.gamma) * adv_fn(full_logits, target)
+                        + cfg.gamma * adv_fn(lfc_logits, target)
+                    )
+
+                grads = jax.grad(loss_fn)(lfc)
+                updates, opt_state = opt.update(grads, opt_state, lfc)
+                lfc = optax.apply_updates(lfc, updates)
+
+                # clip the recombined cloud, re-project onto the basis
+                adv = clip_points_linf(lfc + hfc, ori, cfg.budget)
+                lfc_new, hfc_new = spectral_split(adv, evecs, cfg.low_pass)
+                lfc = jax.lax.stop_gradient(lfc_new)
+
+                # evaluate (reference evaluates after the clip,
+                # TAOF_attack.py:175-211)
+                adv_eval = lfc + hfc_new
+                pred = jnp.argmax(model_fn(adv_eval), axis=-1)
+                lfc_pred = jnp.argmax(model_fn(lfc), axis=-1)
+                dist = l2_dist(adv_eval, ori)
+                if cfg.targeted:
+                    succ = (pred == target) & (lfc_pred != yt)
+                else:
+                    succ = pred != target
+                improved = succ & (dist < o_bestdist)
+                o_bestdist = jnp.where(improved, dist, o_bestdist)
+                o_bestscore = jnp.where(improved, pred, o_bestscore)
+                o_bestattack = jnp.where(
+                    improved[:, None, None], adv_eval, o_bestattack
+                )
+
+                best = (o_bestdist, o_bestattack, o_bestscore)
+                return (lfc, opt_state, best), adv_eval
+
+            init_best = (o_bestdist, o_bestattack, o_bestscore)
+            (lfc, _, best), advs = jax.lax.scan(
+                step, (lfc, opt.init(lfc), init_best), None,
+                length=cfg.num_iter,
+            )
+            o_bestdist, o_bestattack, o_bestscore = best
+            return (o_bestdist, o_bestattack, o_bestscore, advs[-1]), None
+
+        init = (
+            jnp.full((b,), 1e10, dtype=jnp.float32),
+            jnp.zeros_like(ori),
+            jnp.full((b,), -1, dtype=jnp.int32),
+            ori,
+        )
+        keys = jax.random.split(key, cfg.binary_step)
+        (o_bestdist, o_bestattack, o_bestscore, last), _ = jax.lax.scan(
+            binary_round, init, keys
+        )
+
+        # back-fill failures with the last iterate (TAOF_attack.py:230-231)
+        failed = o_bestscore < 0
+        adv = jnp.where(failed[:, None, None], last, o_bestattack)
+
+        pred = jnp.argmax(model_fn(adv), axis=-1)
+        success = pred == target if cfg.targeted else pred != target
+        return adv, o_bestdist, success
+
+    return run

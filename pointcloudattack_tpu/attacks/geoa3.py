@@ -1,0 +1,270 @@
+"""GeoA3: geometry-aware adversarial attack (TPAMI'20).
+
+Behavioral twin of reference attack/GeoA3/GeoA3_attack.py:185-473 with the
+Eval_GeoA3.py defaults (CE cls loss, symmetric Chamfer + 0.1*Hausdorff +
+1.0*curvature constraint, Adam(0.01), binary search 10 x 500 with the
+doubling-until-bounded constant schedule of GeoA3_attack.py:394-404).
+
+Differences from the shared CW engine that justify a separate loop:
+  * the optimization variable is an OFFSET added to the clean cloud;
+  * best tracking is by the (one-iteration-lagged) constraint loss, not
+    L2 (GeoA3_attack.py:308-330);
+  * optional extras of the reference are supported as config flags:
+    exponential LR decay (gamma 0.999), perpendicular-jitter input
+    pre-noising, offset projection onto clean normals, and the
+    per-point Linf clip cc_linf.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pointcloudattack_tpu.geometry.normals import (
+    estimate_normal,
+    estimate_perpendicular_jitter,
+)
+from pointcloudattack_tpu.losses.adv import (
+    cross_entropy_adv_loss,
+    logits_adv_loss,
+    untargeted_logits_adv_loss,
+)
+from pointcloudattack_tpu.losses.distance import (
+    chamfer_both,
+    hausdorff_dist,
+    l2_dist,
+)
+from pointcloudattack_tpu.losses.geometry import (
+    curvature_loss,
+    kappa_adv,
+    kappa_ori,
+)
+from pointcloudattack_tpu.ops.gather import index_points
+from pointcloudattack_tpu.ops.knn import knn_points
+
+
+@dataclasses.dataclass(frozen=True)
+class GeoA3Config:
+    lr: float = 0.01
+    binary_max_steps: int = 10
+    iter_max_steps: int = 500
+    initial_const: float = 10.0
+    cls_loss_type: str = "CE"  # "CE" | "Margin" | "None"
+    confidence: float = 0.0
+    dis_loss_type: str = "CD"  # "CD" | "L2" | "None"
+    is_cd_single_side: bool = False
+    dis_loss_weight: float = 1.0
+    hd_loss_weight: float = 0.1
+    curv_loss_weight: float = 1.0
+    curv_loss_knn: int = 16
+    targeted: bool = False
+    normal_k: int = 3
+    # optional extras (all default-off like the reference CLI)
+    use_lr_scheduler: bool = False
+    lr_gamma: float = 0.999
+    use_jitter: bool = False
+    jitter_k: int = 16
+    jitter_sigma: float = 0.01
+    jitter_clip: float = 0.05
+    jitter_refresh_iters: int = 50
+    use_offset_proj: bool = False
+    cc_linf: float = 0.0
+
+
+def _constraint_loss(adv, ori, normal_ori, k_ori, cfg: GeoA3Config):
+    """[B] weighted geometric constraint (GeoA3_attack.py:136-183)."""
+    total = jnp.zeros(adv.shape[0], dtype=adv.dtype)
+    if cfg.dis_loss_type == "CD":
+        a2o, o2a = chamfer_both(adv, ori)
+        dis = a2o if cfg.is_cd_single_side else a2o + o2a
+        total = total + cfg.dis_loss_weight * dis
+    elif cfg.dis_loss_type == "L2":
+        total = total + cfg.dis_loss_weight * jnp.sum(
+            (adv - ori) ** 2, axis=(1, 2)
+        )
+    if cfg.hd_loss_weight != 0:
+        total = total + cfg.hd_loss_weight * hausdorff_dist(adv, ori)
+    if cfg.curv_loss_weight != 0:
+        k_adv, _ = kappa_adv(adv, ori, normal_ori, cfg.curv_loss_knn)
+        total = total + cfg.curv_loss_weight * curvature_loss(
+            adv, ori, k_adv, k_ori
+        )
+    return total
+
+
+def _offset_proj(offset, ori, normal_ori):
+    """Project offsets onto the normal of the nearest clean point.
+
+    Quirk preserved from the reference (GeoA3_attack.py:62-80): the kNN
+    query runs on the OFFSET VECTORS against the clean cloud.
+    """
+    _, idx = knn_points(offset, ori, k=1)
+    normal = index_points(normal_ori, idx[..., 0])  # [B, N, 3]
+    nlen = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    unit = normal / (nlen + 1e-6)
+    return jnp.sum(offset * unit, axis=-1, keepdims=True) * unit
+
+
+def _lp_clip(offset, cc_linf):
+    """Per-point L2-norm cap of the offset (GeoA3_attack.py:91-101)."""
+    lengths = jnp.linalg.norm(offset, axis=-1, keepdims=True)
+    scaled = jnp.where(lengths > 1e-6, offset / lengths * cc_linf, 0.0)
+    return jnp.where(lengths < cc_linf, offset, scaled)
+
+
+def build_geoa3_attack(model_fn, cfg: GeoA3Config):
+    """Compiled (data, target, key) -> (adv, best_loss, success)."""
+    if cfg.cls_loss_type == "Margin":
+        if cfg.targeted:
+            cls_fn = lambda lg, t: logits_adv_loss(lg, t, cfg.confidence)
+        else:
+            cls_fn = lambda lg, t: untargeted_logits_adv_loss(
+                lg, t, cfg.confidence
+            )
+    elif cfg.cls_loss_type == "CE":
+        cls_fn = (
+            cross_entropy_adv_loss
+            if cfg.targeted
+            else lambda lg, t: -cross_entropy_adv_loss(lg, t)
+        )
+    else:
+        cls_fn = lambda lg, t: jnp.zeros(lg.shape[0], dtype=lg.dtype)
+
+    if cfg.use_lr_scheduler:
+        sched = optax.exponential_decay(cfg.lr, 1, cfg.lr_gamma)
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(cfg.lr)
+
+    @jax.jit
+    def run(data, target, key):
+        b, n, _ = data.shape
+        ori = data
+        normal_ori = estimate_normal(ori, k=cfg.normal_k)
+        k_ori = (
+            kappa_ori(ori, normal_ori, cfg.curv_loss_knn)
+            if cfg.curv_loss_weight != 0
+            else jnp.zeros((b, n), dtype=ori.dtype)
+        )
+
+        def make_iter_step(weight):
+            """Iteration body with the round's constraint weight baked in."""
+
+            def iter_step(carry, inputs):
+                offset, opt_state, prev_constrain, best, jitter = carry
+                it, k_it = inputs
+                best_loss, best_attack, iter_best_score = best
+
+                adv = ori + offset
+
+                # evaluate with the PREVIOUS iteration's constraint metric
+                # (GeoA3_attack.py:308-330 evaluates at loop top)
+                pred = jnp.argmax(model_fn(adv), axis=-1)
+                succ = pred == target if cfg.targeted else pred != target
+                improved = succ & (prev_constrain < best_loss)
+                best_loss = jnp.where(improved, prev_constrain, best_loss)
+                best_attack = jnp.where(
+                    improved[:, None, None], adv, best_attack
+                )
+                iter_best_score = jnp.where(succ, pred, iter_best_score)
+
+                if cfg.use_jitter:
+                    jitter = jax.lax.cond(
+                        it % cfg.jitter_refresh_iters == 0,
+                        lambda: estimate_perpendicular_jitter(
+                            adv, cfg.jitter_k, k_it,
+                            sigma=cfg.jitter_sigma, clip=cfg.jitter_clip,
+                        ),
+                        lambda: jitter,
+                    )
+
+                def loss_fn(off):
+                    a = ori + off
+                    if cfg.use_jitter:
+                        a = a + jitter
+                    lg = model_fn(a)
+                    cons = _constraint_loss(a, ori, normal_ori, k_ori, cfg)
+                    return jnp.sum(cls_fn(lg, target) + weight * cons), cons
+
+                (_, constrain), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(offset)
+                updates, opt_state = opt.update(grads, opt_state, offset)
+                offset = optax.apply_updates(offset, updates)
+
+                if cfg.use_offset_proj:
+                    offset = jax.lax.stop_gradient(
+                        _offset_proj(offset, ori, normal_ori)
+                    )
+                if cfg.cc_linf != 0:
+                    offset = jax.lax.stop_gradient(
+                        _lp_clip(offset, cfg.cc_linf)
+                    )
+
+                best = (best_loss, best_attack, iter_best_score)
+                return (offset, opt_state, constrain, best, jitter), None
+
+            return iter_step
+
+        def binary_round(carry, k):
+            lower, upper, const, best_loss, best_attack = carry
+            k_off, k_jit = jax.random.split(k)
+            offset0 = (
+                jax.random.normal(k_off, ori.shape, dtype=ori.dtype) * 1e-3
+            )
+            iter_best_score = jnp.full((b,), -1, dtype=jnp.int32)
+            best0 = (best_loss, best_attack, iter_best_score)
+            jit_keys = jax.random.split(k_jit, cfg.iter_max_steps)
+            its = jnp.arange(cfg.iter_max_steps)
+
+            (offset, _, _, best, _), _ = jax.lax.scan(
+                make_iter_step(const),
+                (
+                    offset0,
+                    opt.init(offset0),
+                    jnp.full((b,), 1e10, dtype=jnp.float32),
+                    best0,
+                    jnp.zeros_like(ori),
+                ),
+                (its, jit_keys),
+            )
+            best_loss, best_attack, iter_best_score = best
+
+            # final-output success drives the bisection
+            # (GeoA3_attack.py:394-404)
+            pred = jnp.argmax(model_fn(ori + offset), axis=-1)
+            succ = pred == target if cfg.targeted else pred != target
+            round_ok = succ & (iter_best_score != -1)
+
+            lower = jnp.where(round_ok, jnp.maximum(lower, const), lower)
+            upper = jnp.where(round_ok, upper, jnp.minimum(upper, const))
+            bounded = upper < 1e9
+            const = jnp.where(
+                round_ok,
+                jnp.where(bounded, (lower + upper) * 0.5, const * 2.0),
+                jnp.where(bounded, (lower + upper) * 0.5, const),
+            )
+            return (lower, upper, const, best_loss, best_attack), None
+
+        carry = (
+            jnp.zeros((b,), dtype=jnp.float32),
+            jnp.full((b,), 1e10, dtype=jnp.float32),
+            jnp.full((b,), cfg.initial_const, dtype=jnp.float32),
+            jnp.full((b,), 1e10, dtype=jnp.float32),
+            jnp.broadcast_to(ori, ori.shape),
+        )
+        keys = jax.random.split(key, cfg.binary_max_steps)
+        # python loop (unrolled in the jit): the weight is scan-carried
+        # data, and make_iter_step closes over it per round
+        for i in range(cfg.binary_max_steps):
+            carry, _ = binary_round(carry, keys[i])
+        _, _, _, best_loss, best_attack = carry
+
+        pred = jnp.argmax(model_fn(best_attack), axis=-1)
+        success = pred == target if cfg.targeted else pred != target
+        return best_attack, best_loss, success
+
+    return run

@@ -1,0 +1,82 @@
+"""Smoke tests for the KNN, AOF, and GeoA3 attack families."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointcloudattack_tpu.attacks.knn import KNNAttackConfig, build_knn_attack
+from pointcloudattack_tpu.attacks.aof import AOFConfig, build_aof_attack
+from pointcloudattack_tpu.attacks.geoa3 import GeoA3Config, build_geoa3_attack
+from pointcloudattack_tpu.utils.apply import make_model_fn
+
+
+def test_knn_attack_succeeds(trained_pointnet):
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = KNNAttackConfig(num_iter=150, kappa=0.0, budget=0.45)
+    attack = build_knn_attack(model_fn, cfg)
+    adv, success = attack(
+        jnp.asarray(clouds[:6]), jnp.asarray(labels[:6]), jax.random.PRNGKey(0)
+    )
+    # the inner-point projection (positions as pseudo-normals) forbids
+    # inward motion, so some examples legitimately resist — require most
+    assert np.asarray(success).mean() >= 0.6
+    # per-point budget respected
+    norms = np.sqrt(((np.asarray(adv) - clouds[:6]) ** 2).sum(-1))
+    assert norms.max() <= 0.45 + 1e-4
+
+
+def test_aof_attack_succeeds(trained_pointnet):
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = AOFConfig(
+        binary_step=1, num_iter=60, low_pass=16, knn_k=10,
+        kappa=0.0, budget=0.45,
+    )
+    attack = build_aof_attack(model_fn, cfg)
+    adv, best_dist, success = attack(
+        jnp.asarray(clouds[:4]), jnp.asarray(labels[:4]), jax.random.PRNGKey(0)
+    )
+    assert np.asarray(success).mean() >= 0.75
+    assert np.all(np.isfinite(np.asarray(adv)))
+
+
+def test_geoa3_attack_succeeds(trained_pointnet):
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = GeoA3Config(
+        binary_max_steps=2,
+        iter_max_steps=100,
+        initial_const=1.0,
+        curv_loss_knn=8,
+        normal_k=4,
+    )
+    attack = build_geoa3_attack(model_fn, cfg)
+    adv, best_loss, success = attack(
+        jnp.asarray(clouds[:4]), jnp.asarray(labels[:4]), jax.random.PRNGKey(0)
+    )
+    assert np.asarray(success).mean() >= 0.75
+    assert np.all(np.isfinite(np.asarray(adv)))
+
+
+def test_geoa3_with_extras(trained_pointnet):
+    """Optional flags (jitter, offset projection, cc_linf, LR decay)."""
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = GeoA3Config(
+        binary_max_steps=1,
+        iter_max_steps=20,
+        curv_loss_knn=8,
+        normal_k=4,
+        use_lr_scheduler=True,
+        use_jitter=True,
+        jitter_k=8,
+        jitter_refresh_iters=10,
+        use_offset_proj=True,
+        cc_linf=0.45,
+    )
+    attack = build_geoa3_attack(model_fn, cfg)
+    adv, _, _ = attack(
+        jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]), jax.random.PRNGKey(0)
+    )
+    assert np.all(np.isfinite(np.asarray(adv)))

@@ -20,22 +20,6 @@ NUM_CLASSES = 3
 NUM_POINTS = 64
 
 
-@pytest.fixture(scope="module")
-def trained_pointnet():
-    clouds, labels = make_synthetic_clouds(NUM_CLASSES, 12, NUM_POINTS)
-    model = models.make_model("PointNet", NUM_CLASSES)
-    variables = models.init_model(
-        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=2
-    )
-    cfg = TrainConfig(epochs=30, batch_size=12)
-    variables = fit(model, variables, cfg, clouds, labels)
-    # sanity: the model must classify the train set perfectly
-    out, _ = model.apply(variables, jnp.asarray(clouds), train=False)
-    acc = float(np.mean(np.argmax(np.asarray(out), -1) == labels))
-    assert acc == 1.0, f"fixture model failed to fit (acc={acc})"
-    return model, variables, clouds, labels
-
-
 def test_cw_untargeted_reaches_full_asr(trained_pointnet):
     model, variables, clouds, labels = trained_pointnet
     model_fn = make_model_fn(model, variables)
