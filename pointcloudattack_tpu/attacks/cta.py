@@ -1,0 +1,207 @@
+"""CTA: contribution-targeted activation-maximization attack.
+
+Behavioral twin of reference attack/CTA/CTA.py:58-286 +
+attack/CTA/utils/integrated_gradients.py:
+
+  1. integrated-gradients saliency over a ``black`` (min-value) baseline
+     ranks points by total contribution (IG.py:8-26; contributions are
+     summed over coordinates, CTA.py:91-93);
+  2. the attack unmasks an increasing number of ranked points (hard cap
+     of 3 simultaneously perturbed points, CTA.py:186-190) and runs a
+     hand-rolled Adam (no bias correction, CTA.py:194-202) on the raw
+     input, minimizing the gap between the original-class activation and
+     the runner-up (or an explicit target class);
+  3. inner loops stop when the 25-step rolling mean of the original-class
+     activation stops decreasing or after 1500 steps (CTA.py:252-276);
+     the whole attack stops on first misclassification or at 15000 total
+     steps.
+
+TPU re-design: both loops live in one ``lax.while_loop`` whose state
+carries (num_unmasked_points, step counters, rolling activation window),
+so the data-dependent control flow never leaves the device.  The logit
+difference act[ori] - act[other] is invariant to the models' log_softmax,
+so log-prob and raw-logit models behave identically here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CTAConfig:
+    alpha: float = 1.0
+    ig_steps: int = 25
+    max_active_points: int = 3  # CTA.py:186-190 caps unmasked points at 3
+    inner_max_steps: int = 1500
+    total_max_steps: int = 15000
+    window: int = 25
+    target_mode: str = "untarget"  # "untarget" | "second" | "least"
+    lr: float = 1.0  # a1 in the hand-rolled Adam
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+
+
+def integrated_gradients(
+    model_fn: Callable, x: jax.Array, cls: jax.Array, steps: int = 25
+) -> jax.Array:
+    """IG attribution [B, N, 3] for class ``cls`` over a min-value baseline.
+
+    Matches reference utils/integrated_gradients.py: baseline is the
+    per-cloud minimum value, path gradients at ``linspace(0, 1, steps)``,
+    averaged and scaled by (x - baseline).
+    """
+    baseline = jnp.min(x, axis=(1, 2), keepdims=True) * jnp.ones_like(x)
+    diff = x - baseline
+
+    def class_score(inp):
+        logits = model_fn(inp)
+        one_hot = jax.nn.one_hot(cls, logits.shape[-1], dtype=logits.dtype)
+        return jnp.sum(one_hot * logits)
+
+    grad_fn = jax.grad(class_score)
+
+    def body(carry, alpha):
+        return carry + grad_fn(baseline + alpha * diff), None
+
+    alphas = jnp.linspace(0.0, 1.0, steps)
+    total, _ = jax.lax.scan(body, jnp.zeros_like(x), alphas)
+    return total * diff / steps
+
+
+def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
+    """Compiled (points [B,N,3], ori_cls [B], key) ->
+    (adv, pred, success, steps_used)."""
+
+    @jax.jit
+    def run(points, ori_cls, key):
+        b, n, _ = points.shape
+        logits0 = model_fn(points)
+        k = logits0.shape[-1]
+        one_hot_ori = jax.nn.one_hot(ori_cls, k, dtype=points.dtype)
+
+        # --- saliency ranking (ascending contribution, CTA.py:92) ---
+        mask = integrated_gradients(model_fn, points, ori_cls, cfg.ig_steps)
+        contri = jnp.sum(mask, axis=-1)  # [B, N]
+        order = jnp.argsort(contri, axis=-1)  # ascending, like np.argsort
+        num_positive = jnp.sum(contri > 0, axis=-1)  # [B]
+
+        # --- target class selection (CTA.py:103-121) ---
+        if cfg.target_mode == "second":
+            masked = logits0 - one_hot_ori * 1e9
+            tar_cls = jnp.argmax(masked, axis=-1)
+            targeted = True
+        elif cfg.target_mode == "least":
+            tar_cls = jnp.argmin(logits0, axis=-1)
+            targeted = True
+        elif cfg.target_mode == "random":
+            offs = jax.random.randint(key, (b,), 1, k)
+            tar_cls = (ori_cls + offs) % k
+            targeted = True
+        else:
+            tar_cls = ori_cls  # unused
+            targeted = False
+
+        def objective(x):
+            """alpha * (act[ori] - act[other/target]); [B]."""
+            lg = model_fn(x)
+            act_ori = jnp.sum(one_hot_ori * lg, axis=-1)
+            if targeted:
+                act_other = jnp.take_along_axis(
+                    lg, tar_cls[:, None], axis=-1
+                )[:, 0]
+            else:
+                act_other = jnp.max(lg - one_hot_ori * 1e9, axis=-1)
+            return cfg.alpha * (act_ori - act_other)
+
+        grad_fn = jax.grad(lambda x: jnp.sum(objective(x)))
+
+        def success_now(x):
+            pred = jnp.argmax(model_fn(x), axis=-1)
+            if targeted:
+                return pred == tar_cls, pred
+            return pred != ori_cls, pred
+
+        # while-loop state
+        def cond(state):
+            (x, v, s, num_p, cur_step, total_step, window, last_mean,
+             done) = state
+            return jnp.logical_and(
+                total_step < cfg.total_max_steps,
+                jnp.logical_and(
+                    jnp.any(~done), jnp.any(num_p <= num_positive)
+                ),
+            )
+
+        def body(state):
+            (x, v, s, num_p, cur_step, total_step, window, last_mean,
+             done) = state
+
+            grad = grad_fn(x)
+            # unmask at most the first min(num_p, 3) ranked points
+            ranks = jnp.argsort(order, axis=-1)  # rank of each point
+            active_k = jnp.minimum(num_p, cfg.max_active_points)  # [B]
+            point_mask = (ranks < active_k[:, None]).astype(x.dtype)
+            grad = grad * point_mask[..., None]
+
+            v = cfg.beta1 * v + (1 - cfg.beta1) * grad
+            s = cfg.beta2 * s + (1 - cfg.beta2) * grad**2
+            upd = -cfg.lr * v / jnp.sqrt(s + cfg.eps)
+            x_new = jnp.where(done[:, None, None], x, x + upd)
+
+            succ, _ = success_now(x_new)
+            done_new = done | succ
+
+            # rolling activation window bookkeeping
+            act = objective(x_new)  # proxy for the ori activation trend
+            window = jnp.roll(window, -1, axis=0).at[-1].set(act)
+            cur_step = cur_step + 1
+            at_check = (cur_step >= cfg.window) & (
+                cur_step % cfg.window == 0
+            )
+            new_mean = jnp.mean(window, axis=0)
+            stalled = at_check & (new_mean >= last_mean)
+            give_up = stalled | (cur_step >= cfg.inner_max_steps)
+
+            # on give-up: unmask one more point, reset the inner loop
+            num_p = jnp.where(give_up & ~done_new, num_p + 1, num_p)
+            reset = jnp.any(give_up & ~done_new)
+            cur_step = jnp.where(reset, 0, cur_step)
+            x_out = jnp.where(
+                (give_up & ~done_new)[:, None, None], points, x_new
+            )
+            v = jnp.where((give_up & ~done_new)[:, None, None], 0.0, v)
+            s = jnp.where((give_up & ~done_new)[:, None, None], 0.0, s)
+            last_mean = jnp.where(
+                at_check & ~stalled, new_mean, last_mean
+            )
+            last_mean = jnp.where(give_up, jnp.inf, last_mean)
+
+            return (
+                x_out, v, s, num_p, cur_step, total_step + 1, window,
+                last_mean, done_new,
+            )
+
+        init = (
+            points,
+            jnp.zeros_like(points),
+            jnp.zeros_like(points),
+            jnp.zeros((b,), dtype=jnp.int32),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.full((cfg.window, b), jnp.inf, dtype=points.dtype),
+            jnp.full((b,), jnp.inf, dtype=points.dtype),
+            jnp.zeros((b,), dtype=bool),
+        )
+        (adv, _, _, _, _, total_step, _, _, done) = jax.lax.while_loop(
+            cond, body, init
+        )
+        succ, pred = success_now(adv)
+        return adv, pred, succ, total_step
+
+    return run

@@ -1,0 +1,220 @@
+"""ISO: isometry (rotation) attacks — Thompson-sampling black box (TSI)
+and gradient white box on a 3x3 linear transform (CTRI).
+
+Behavioral twin of reference attack/ISO/:
+  * ``ISOnet`` (iso_attack.py:89-101) becomes a plain function: the victim
+    is evaluated on ``x @ W^T`` (torch nn.Linear(3,3) applies x W^T);
+  * Thompson bandit over a d^3 grid of Euler-angle intervals
+    (thompson_sample.py:22-81) — Beta posteriors live on the host (they
+    are 512 floats; the model forwards stay jitted on device);
+  * rotation/reflection interval samplers (isometry_init.py:4-92);
+  * gradient attack (iso_attack.py:121-159): Adam on W, loss =
+    -CE (untargeted) or clamped logit gap (targeted), plus
+    LAMBDA * spectral penalty |v^T (W^T W - I) v| via power iteration
+    (iso_attack.py:58-65) and the Schatten-p alternative (:68-73).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class ISOConfig:
+    """Reference CLI defaults (iso_attack.py argparse)."""
+
+    step_size: float = 0.01
+    num_steps: int = 200
+    lam: float = 1.0  # LAMBDA penalty weight
+    kappa: float = 0.0
+    targeted: bool = False
+    bandit_d: int = 4
+    bandit_a0: float = -np.pi
+    bandit_b0: float = np.pi
+    num_init: int = 10
+    power_iters: int = 30
+
+
+def apply_iso(x: jax.Array, w: jax.Array) -> jax.Array:
+    """nn.Linear(3,3,bias=False) on channels-last points: x @ W^T."""
+    return jnp.einsum("bnc,dc->bnd", x, w)
+
+
+def spectral_penalty(
+    w: jax.Array, key: jax.Array, iters: int = 30
+) -> jax.Array:
+    """|v^T (W^T W - I) v| by power iteration (iso_attack.py:58-65)."""
+    m = w.T @ w - jnp.eye(3, dtype=w.dtype)
+    v0 = jax.random.normal(key, (3,), dtype=w.dtype)
+    v0 = v0 / (jnp.linalg.norm(v0) + 1e-12)
+
+    def body(v, _):
+        v = m @ v
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        return v, None
+
+    v, _ = jax.lax.scan(body, v0, None, length=iters)
+    return jnp.abs(v @ (m @ v))
+
+
+def iso_penalty(w: jax.Array, p: float = 2.0) -> jax.Array:
+    """Schatten-p norm of W^T W - I (iso_attack.py:68-73)."""
+    m = w.T @ w - jnp.eye(3, dtype=w.dtype)
+    sigma = jnp.linalg.svd(m, compute_uv=False)
+    return jnp.abs(jnp.sum(sigma**p) ** (1.0 / p))
+
+
+def rotation_xyz(angles: np.ndarray) -> np.ndarray:
+    """R_z R_y R_x from Euler angles (isometry_init.py:4-28)."""
+    cx, sx = np.cos(angles[0]), np.sin(angles[0])
+    cy, sy = np.cos(angles[1]), np.sin(angles[1])
+    cz, sz = np.cos(angles[2]), np.sin(angles[2])
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, sz, 0], [-sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def reflection(angles: np.ndarray) -> np.ndarray:
+    """I - 2 u u^T householder reflection (isometry_init.py:65-76)."""
+    c1, s1 = np.cos(angles[0]), np.sin(angles[0])
+    c2, s2 = np.cos(angles[1]), np.sin(angles[1])
+    u = np.array([[s1, c1 * s2, c1 * c2]])
+    return np.identity(3) - 2.0 * (u.T @ u)
+
+
+class BernThompson:
+    """Beta-Bernoulli Thompson sampler over a d^3 Euler-angle grid.
+
+    Host-side twin of reference thompson_sample.py:56-81.
+    """
+
+    def __init__(self, d: int, a0: float, b0: float, seed: int = 0):
+        self.d, self.a0, self.b0 = d, a0, b0
+        self.alpha = np.ones((d, d, d))
+        self.beta = np.ones((d, d, d))
+        self.rng = np.random.RandomState(seed)
+
+    def get_action(self):
+        theta = self.rng.beta(self.alpha, self.beta)
+        return np.unravel_index(np.argmax(theta), theta.shape)
+
+    def sample_matrix(self, arm, kind: str = "rotation") -> np.ndarray:
+        lo = self.a0 + (self.b0 - self.a0) * np.asarray(arm) / self.d
+        hi = self.a0 + (self.b0 - self.a0) * (np.asarray(arm) + 1) / self.d
+        angles = self.rng.uniform(lo, hi)
+        if kind == "reflection":
+            return reflection(angles)
+        return rotation_xyz(angles)
+
+    def update(self, arm, reward: int):
+        self.alpha[arm] += reward
+        self.beta[arm] += 1 - reward
+
+
+def thompson_sample_attack(
+    model_fn: Callable,
+    bandit: BernThompson,
+    obj: jax.Array,
+    label: jax.Array,
+    num_init: int = 10,
+    kind: str = "rotation",
+):
+    """TSI attack: propose random isometries until one misclassifies.
+
+    Returns (best W [3,3], success, tries). The W with the lowest true-
+    class probability is kept (iso_attack.py:104-118).
+    """
+
+    @jax.jit
+    def probe(w):
+        logits = model_fn(apply_iso(obj, w))
+        prob = jax.nn.softmax(logits, axis=-1)
+        pred = jnp.argmax(logits, axis=-1)
+        true_prob = jnp.take_along_axis(prob, label[:, None], axis=-1)[:, 0]
+        return pred, true_prob
+
+    best_w, best_prob = None, np.inf
+    for i in range(num_init):
+        arm = bandit.get_action()
+        w = jnp.asarray(bandit.sample_matrix(arm, kind), dtype=obj.dtype)
+        pred, true_prob = probe(w)
+        wrong = bool((np.asarray(pred) != np.asarray(label)).all())
+        bandit.update(arm, int(wrong))
+        tp = float(np.asarray(true_prob).mean())
+        if tp < best_prob:
+            best_prob, best_w = tp, w
+        if wrong:
+            return best_w, True, i + 1
+    return best_w, False, num_init
+
+
+def build_gradient_iso_attack(model_fn: Callable, cfg: ISOConfig):
+    """CTRI attack: Adam on the 3x3 matrix with spectral-norm penalty.
+
+    Compiled (obj [B,N,3], label [B], w0 [3,3], key) ->
+    (w [3,3], success [B], penalty, steps).
+    """
+    opt = optax.adam(cfg.step_size)
+
+    @jax.jit
+    def run(obj, label, w0, key):
+        def loss_fn(w, k):
+            logits = model_fn(apply_iso(obj, w))
+            if cfg.targeted:
+                one_hot = jax.nn.one_hot(
+                    label, logits.shape[-1], dtype=logits.dtype
+                )
+                real = jnp.sum(one_hot * logits, axis=-1)
+                other = jnp.max(logits - one_hot * 1e9, axis=-1)
+                loss1 = jnp.sum(jnp.maximum(real - other, -cfg.kappa))
+            else:
+                # maximize CE of the true label
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                one_hot = jax.nn.one_hot(
+                    label, logits.shape[-1], dtype=logits.dtype
+                )
+                loss1 = jnp.sum(jnp.sum(one_hot * logp, axis=-1))
+            # NOTE: the reference computes the penalty on weight.data
+            # (iso_attack.py:146) — it contributes NO gradient to W; the
+            # stop_gradient reproduces that and avoids differentiating
+            # through the power iteration's near-zero normalizations.
+            pen = jax.lax.stop_gradient(
+                spectral_penalty(w, k, cfg.power_iters)
+            )
+            return loss1 + cfg.lam * pen, pen
+
+        def cond(state):
+            w, opt_state, step, done, pen = state
+            return jnp.logical_and(step < cfg.num_steps, ~done)
+
+        def body(state):
+            w, opt_state, step, done, _ = state
+            k = jax.random.fold_in(key, step)
+            (loss, pen), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                w, k
+            )
+            updates, opt_state = opt.update(grads, opt_state, w)
+            w = optax.apply_updates(w, updates)
+            pred = jnp.argmax(model_fn(apply_iso(obj, w)), axis=-1)
+            done = jnp.all(pred != label)
+            return (w, opt_state, step + 1, done, pen)
+
+        init = (
+            w0,
+            opt.init(w0),
+            jnp.int32(0),
+            jnp.bool_(False),
+            jnp.float32(0.0),
+        )
+        w, _, steps, done, pen = jax.lax.while_loop(cond, body, init)
+        pred = jnp.argmax(model_fn(apply_iso(obj, w)), axis=-1)
+        return w, pred != label, pen, steps
+
+    return run

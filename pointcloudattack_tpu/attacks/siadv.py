@@ -1,0 +1,276 @@
+"""SIadv: shape-invariant white/black-box attacks (CVPR'22).
+
+Behavioral twins of reference attack/SIadv/SIadv_attack.py:
+
+  * ``shape_invariant_ifgm``  (:279-340): white-box iFGM in the per-point
+    tangent frame — gradients are taken w.r.t. the spin-axis coordinates
+    with the normal (z) component zeroed, steps are L2-normalized and
+    scaled by sqrt(3*1024), clipped per point.
+  * ``simba_attack``          (:343-414): coordinate-descent queries over
+    a random (coord, point) basis.
+  * ``simbapp_attack``        (:417-500): SimBA++ — basis sampled from a
+    categorical over white-box |grad| + gaussian step noise.
+  * ``shape_invariant_query_attack`` (:503-624): probes points in
+    descending tangent-plane sensitivity order.
+
+TPU re-design: the reference drives every query from host Python, one
+forward per query, batch 1.  Here each query loop is a ``lax.while_loop``
+resident on device (the +eps / -eps probes of one step are batched into a
+single forward), and the whole attack vmaps over the example batch with a
+per-example done mask — finished examples keep their state frozen while
+stragglers continue.
+
+Normals come from the shared kNN-PCA estimator instead of open3d's
+KD-tree (reference :205-214) — statistically equivalent, no host sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from pointcloudattack_tpu.constraints.clip import clip_points_linf
+from pointcloudattack_tpu.geometry.normals import estimate_normal
+from pointcloudattack_tpu.geometry.tangent import (
+    from_tangent_frame,
+    to_tangent_frame,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SIAdvConfig:
+    """Reference CLI defaults (attack/SIadv/Eval_SIadv.py flags)."""
+
+    eps: float = 0.16
+    step_size: float = 0.32  # reference default --step_size 0.32 (queries)
+    max_steps: int = 50  # iFGM iterations
+    normal_k: int = 20
+    max_queries: int = 3 * 1024  # SimBA basis size bound
+    noise_std: float = 0.1  # SimBA++ step noise
+
+
+def cw_margin_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    kappa: float = 0.0,
+    tar: bool = True,
+) -> jax.Array:
+    """CW margin of SIadv (SIadv_attack.py:142-164).
+
+    tar=True:  max(other - real, kappa) — positive once the prediction
+               moved off ``target`` (the query attacks maximize this with
+               kappa=-999 and stop at >= 0).
+    tar=False: max(real - other, kappa) — the iFGM minimizes this.
+    """
+    k = logits.shape[-1]
+    one_hot = jax.nn.one_hot(target, k, dtype=logits.dtype)
+    real = jnp.sum(one_hot * logits, axis=-1)
+    other = jnp.max(logits - one_hot * 10000.0, axis=-1)
+    margin = other - real if tar else real - other
+    return jnp.maximum(margin, kappa)
+
+
+def build_si_ifgm(
+    wb_model_fn: Callable,
+    target_model_fn: Callable,
+    cfg: SIAdvConfig,
+):
+    """White-box shape-invariant iFGM.
+
+    Returns compiled (points [B,N,3], target [B]) ->
+    (adv [B,N,3], pred [B], success [B]).
+    """
+
+    @jax.jit
+    def run(points, target):
+        b, n, _ = points.shape
+        ori = points
+        scale = jnp.sqrt(3.0 * n)
+
+        def step(carry, _):
+            pts = carry
+            normal = estimate_normal(pts, k=cfg.normal_k)
+            new_pts, u, tr = to_tangent_frame(
+                jax.lax.stop_gradient(pts), normal
+            )
+
+            def loss_fn(np_):
+                back = from_tangent_frame(np_, u, tr)
+                lg = wb_model_fn(back)
+                return jnp.sum(cw_margin_loss(lg, target, tar=False))
+
+            grad = jax.grad(loss_fn)(new_pts)
+            grad = grad.at[..., 2].set(0.0)  # zero the normal component
+            norm = jnp.sqrt(jnp.sum(grad**2, axis=(1, 2), keepdims=True))
+            new_pts = new_pts - cfg.step_size * scale * grad / (norm + 1e-9)
+            pts = from_tangent_frame(new_pts, u, tr)
+            pts = clip_points_linf(pts, ori, cfg.eps)
+            return pts, None
+
+        adv, _ = jax.lax.scan(step, ori, None, length=cfg.max_steps)
+        pred = jnp.argmax(target_model_fn(adv), axis=-1)
+        return adv, pred, pred != target
+
+    return run
+
+
+def _query_loop(model_fn, probe_fn, points0, target, max_iters):
+    """Shared accept/reject query machinery.
+
+    probe_fn(i, state) must return (pert_plus, pert_minus), each a
+    [B, N, 3]-broadcastable additive perturbation candidate for step i.
+
+    Accept rule per reference simba (SIadv_attack.py:381-400): try +eps;
+    if it improves the best margin, accept and skip -eps; else try -eps.
+    Loop ends when every example's margin is >= 0 (misclassified) or the
+    basis is exhausted.
+    """
+
+    def margin(pts):
+        return cw_margin_loss(model_fn(pts), target, kappa=-999.0)
+
+    def cond(state):
+        i, pts, best, queries = state
+        return jnp.logical_and(i < max_iters, jnp.any(best < 0.0))
+
+    def body(state):
+        i, pts, best, queries = state
+        active = best < 0.0  # [B]
+        p_plus, p_minus = probe_fn(i, pts)
+
+        m_plus = margin(pts + p_plus)
+        take_plus = active & (m_plus > best)
+        best1 = jnp.where(take_plus, m_plus, best)
+        pts1 = jnp.where(take_plus[:, None, None], pts + p_plus, pts)
+
+        # -eps probe only matters where +eps was rejected
+        m_minus = margin(pts1 + p_minus)
+        take_minus = active & ~take_plus & (m_minus > best1)
+        best2 = jnp.where(take_minus, m_minus, best1)
+        pts2 = jnp.where(take_minus[:, None, None], pts1 + p_minus, pts1)
+
+        queries = queries + active * 2 - take_plus.astype(jnp.int32)
+        return (i + 1, pts2, best2, queries)
+
+    b = points0.shape[0]
+    init = (
+        jnp.int32(0),
+        points0,
+        margin(points0),
+        jnp.ones((b,), dtype=jnp.int32),  # the initial classification query
+    )
+    _, pts, best, queries = jax.lax.while_loop(cond, body, init)
+    return pts, best, queries
+
+
+def build_simba(model_fn, cfg: SIAdvConfig):
+    """Black-box SimBA coordinate descent."""
+
+    @jax.jit
+    def run(points, target, key):
+        b, n, _ = points.shape
+        basis = jax.random.permutation(key, n * 3)  # shared random order
+
+        def probe_fn(i, pts):
+            flat_idx = basis[jnp.minimum(i, n * 3 - 1)]
+            coord, idx = flat_idx % 3, flat_idx // 3
+            pert = (
+                jnp.zeros((n, 3), dtype=pts.dtype)
+                .at[idx, coord]
+                .set(cfg.step_size)
+            )[None]
+            return pert, -pert
+
+        adv, best, queries = _query_loop(
+            model_fn, probe_fn, points, target, min(cfg.max_queries, 3 * n)
+        )
+        pred = jnp.argmax(model_fn(adv), axis=-1)
+        return adv, pred, pred != target, queries
+
+    return run
+
+
+def build_simbapp(wb_model_fn, model_fn, cfg: SIAdvConfig):
+    """SimBA++: sample the probe coordinate from the white-box |grad|."""
+
+    @jax.jit
+    def run(points, target, key):
+        b, n, _ = points.shape
+
+        def loss_fn(p):
+            return jnp.sum(
+                cw_margin_loss(wb_model_fn(p), target, kappa=-999.0)
+            )
+
+        grad = jnp.abs(jax.grad(loss_fn)(points)).reshape(b, -1)  # [B, 3N]
+        logits_cat = jnp.log(grad + 1e-20)
+
+        def probe_fn(i, pts):
+            k_i = jax.random.fold_in(key, i)
+            k_cat, k_noise = jax.random.split(k_i)
+            choice = jax.random.categorical(k_cat, logits_cat, axis=-1)  # [B]
+            coord, idx = choice % 3, choice // 3
+            step = cfg.step_size + cfg.noise_std * jax.random.normal(
+                k_noise, (b,), dtype=pts.dtype
+            )
+            onehot = jax.nn.one_hot(
+                idx, n, dtype=pts.dtype
+            )[..., None] * jax.nn.one_hot(coord, 3, dtype=pts.dtype)[:, None, :]
+            pert = onehot * step[:, None, None]
+            return pert, -pert
+
+        adv, best, queries = _query_loop(
+            model_fn, probe_fn, points, target, min(cfg.max_queries, 3 * n)
+        )
+        pred = jnp.argmax(model_fn(adv), axis=-1)
+        return adv, pred, pred != target, queries
+
+    return run
+
+
+def build_si_query_attack(wb_model_fn, model_fn, cfg: SIAdvConfig):
+    """Shape-invariant sensitivity-ranked query attack."""
+
+    @jax.jit
+    def run(points, target):
+        b, n, _ = points.shape
+        ori = points
+        normal = estimate_normal(points, k=cfg.normal_k)
+        new_pts0, u, tr = to_tangent_frame(points, normal)
+
+        def loss_fn(np_):
+            back = from_tangent_frame(np_, u, tr)
+            back = jnp.clip(back, ori - cfg.eps, ori + cfg.eps)
+            return jnp.sum(
+                cw_margin_loss(wb_model_fn(back), target, kappa=-999.0)
+            )
+
+        grad = jax.grad(loss_fn)(new_pts0)
+        grad = grad.at[..., 2].set(0.0)
+        rankings = jnp.sqrt(grad[..., 0] ** 2 + grad[..., 1] ** 2)  # [B, N]
+        directions = grad / (rankings[..., None] + 1e-16)
+        order = jnp.argsort(-rankings, axis=-1)  # descending sensitivity
+
+        def model_in_frame(np_):
+            return model_fn(from_tangent_frame(np_, u, tr))
+
+        def probe_fn(i, np_):
+            idx = order[:, jnp.minimum(i, n - 1)]  # [B]
+            dir_i = jnp.take_along_axis(
+                directions, idx[:, None, None], axis=1
+            )  # [B, 1, 3]
+            onehot = jax.nn.one_hot(idx, n, dtype=np_.dtype)[..., None]
+            pert = onehot * dir_i * cfg.step_size
+            return pert, -pert
+
+        adv_frame, best, queries = _query_loop(
+            model_in_frame, probe_fn, new_pts0, target, n
+        )
+        adv = from_tangent_frame(adv_frame, u, tr)
+        pred = jnp.argmax(model_fn(adv), axis=-1)
+        return adv, pred, pred != target, queries
+
+    return run

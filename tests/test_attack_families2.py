@@ -1,0 +1,179 @@
+"""Smoke tests for SIadv, CTA, ISO, and Gen3DAdv attack families."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointcloudattack_tpu.attacks import siadv, cta, iso, gen3dadv
+from pointcloudattack_tpu.utils.apply import make_model_fn
+
+
+def _fn(trained_pointnet):
+    model, variables, clouds, labels = trained_pointnet
+    return make_model_fn(model, variables), clouds, labels
+
+
+class TestSIadv:
+    def test_ifgm(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cfg = siadv.SIAdvConfig(eps=0.45, step_size=0.02, max_steps=30,
+                                normal_k=8)
+        attack = siadv.build_si_ifgm(model_fn, model_fn, cfg)
+        adv, pred, success = attack(
+            jnp.asarray(clouds[:4]), jnp.asarray(labels[:4])
+        )
+        assert np.asarray(success).mean() >= 0.75
+        norms = np.sqrt(((np.asarray(adv) - clouds[:4]) ** 2).sum(-1))
+        assert norms.max() <= 0.45 + 1e-4
+
+    def test_simba(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cfg = siadv.SIAdvConfig(step_size=0.4)
+        attack = siadv.build_simba(model_fn, cfg)
+        adv, pred, success, queries = attack(
+            jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]),
+            jax.random.PRNGKey(0),
+        )
+        assert np.all(np.isfinite(np.asarray(adv)))
+        assert np.asarray(queries).min() >= 1
+
+    def test_simbapp(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cfg = siadv.SIAdvConfig(step_size=0.4)
+        attack = siadv.build_simbapp(model_fn, model_fn, cfg)
+        adv, pred, success, queries = attack(
+            jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]),
+            jax.random.PRNGKey(0),
+        )
+        assert np.all(np.isfinite(np.asarray(adv)))
+
+    def test_query_attack(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cfg = siadv.SIAdvConfig(eps=0.45, step_size=0.4, normal_k=8)
+        attack = siadv.build_si_query_attack(model_fn, model_fn, cfg)
+        adv, pred, success, queries = attack(
+            jnp.asarray(clouds[:2]), jnp.asarray(labels[:2])
+        )
+        assert np.all(np.isfinite(np.asarray(adv)))
+
+
+class TestCTA:
+    def test_integrated_gradients_completeness(self, trained_pointnet):
+        """IG should approximately satisfy sum(IG) ~ f(x) - f(baseline)."""
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        x = jnp.asarray(clouds[:2])
+        cls = jnp.asarray(labels[:2])
+        ig = cta.integrated_gradients(model_fn, x, cls, steps=64)
+        total = np.asarray(jnp.sum(ig, axis=(1, 2)))
+
+        def score(inp):
+            lg = model_fn(inp)
+            return np.asarray(
+                jnp.take_along_axis(lg, cls[:, None], axis=-1)
+            )[:, 0]
+
+        baseline = jnp.min(x, axis=(1, 2), keepdims=True) * jnp.ones_like(x)
+        expect = score(x) - score(baseline)
+        np.testing.assert_allclose(total, expect, rtol=0.25, atol=0.5)
+
+    def test_attack_runs(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cfg = cta.CTAConfig(
+            ig_steps=8, inner_max_steps=100, total_max_steps=400, window=10
+        )
+        attack = cta.build_cta_attack(model_fn, cfg)
+        adv, pred, success, steps = attack(
+            jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]),
+            jax.random.PRNGKey(0),
+        )
+        assert np.all(np.isfinite(np.asarray(adv)))
+        assert int(steps) <= 400
+
+
+class TestISO:
+    def test_rotation_matrices_orthogonal(self):
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            r = iso.rotation_xyz(rng.uniform(-np.pi, np.pi, 3))
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-8)
+            np.testing.assert_allclose(abs(np.linalg.det(r)), 1.0, atol=1e-8)
+        m = iso.reflection(rng.uniform(-np.pi, np.pi, 3))
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-8)
+
+    def test_spectral_penalty_zero_for_rotation(self):
+        r = jnp.asarray(
+            iso.rotation_xyz(np.array([0.3, -0.5, 1.1])), dtype=jnp.float32
+        )
+        p = float(iso.spectral_penalty(r, jax.random.PRNGKey(0)))
+        assert p < 1e-4
+        w = r + 0.3
+        assert float(iso.spectral_penalty(w, jax.random.PRNGKey(0))) > 0.05
+
+    def test_thompson_attack(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        bandit = iso.BernThompson(d=4, a0=-np.pi, b0=np.pi, seed=0)
+        w, success, tries = iso.thompson_sample_attack(
+            model_fn, bandit, jnp.asarray(clouds[:1]),
+            jnp.asarray(labels[:1]), num_init=8,
+        )
+        assert w.shape == (3, 3)
+        assert tries <= 8
+
+    def test_gradient_attack(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cfg = iso.ISOConfig(step_size=0.05, num_steps=100, lam=0.5)
+        attack = iso.build_gradient_iso_attack(model_fn, cfg)
+        w, success, pen, steps = attack(
+            jnp.asarray(clouds[:1]), jnp.asarray(labels[:1]),
+            jnp.eye(3, dtype=jnp.float32), jax.random.PRNGKey(0),
+        )
+        assert np.asarray(success).all()
+
+
+class TestGen3DAdv:
+    def test_critical_points(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cri = gen3dadv.get_critical_points(
+            model_fn, jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]), 16
+        )
+        assert cri.shape == (2, 16, 3)
+
+    def test_dbscan(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(20, 3) * 0.05
+        b = rng.randn(20, 3) * 0.05 + 5.0
+        labels = gen3dadv.dbscan_numpy(
+            np.concatenate([a, b]), eps=0.5, min_samples=3
+        )
+        assert len(set(labels[:20])) == 1 and len(set(labels[20:])) == 1
+        assert labels[0] != labels[20]
+
+    def test_add_points(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        # the reference's 5e3 weight suits 512 added points on ModelNet;
+        # scale it down for the 16-point tiny fixture
+        cfg = gen3dadv.AddPointsConfig(
+            binary_step=2, num_iter=100, num_add=16, kappa=0.0,
+            init_weight=10.0, max_weight=80.0,
+        )
+        attack = gen3dadv.build_add_points_attack(model_fn, cfg)
+        full, added, dist, success = attack(
+            jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]),
+            jax.random.PRNGKey(0),
+        )
+        assert full.shape == (2, 64 + 16, 3)
+        assert np.asarray(success).mean() >= 0.5
+
+    def test_add_clusters(self, trained_pointnet):
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cfg = gen3dadv.AddClustersConfig(
+            binary_step=2, num_iter=50, num_add=2, cl_num_p=8,
+            num_critical=32, kappa=0.0,
+        )
+        attack = gen3dadv.build_add_clusters_attack(model_fn, cfg)
+        full, added, dist, success = attack(
+            jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]),
+            jax.random.PRNGKey(0),
+        )
+        assert full.shape == (2, 64 + 16, 3)
+        assert np.all(np.isfinite(np.asarray(full)))
