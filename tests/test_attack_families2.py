@@ -153,8 +153,8 @@ class TestGen3DAdv:
         # the reference's 5e3 weight suits 512 added points on ModelNet;
         # scale it down for the 16-point tiny fixture
         cfg = gen3dadv.AddPointsConfig(
-            binary_step=2, num_iter=100, num_add=16, kappa=0.0,
-            init_weight=10.0, max_weight=80.0,
+            binary_step=2, num_iter=150, num_add=16, kappa=0.0,
+            init_weight=1.0, max_weight=10.0,
         )
         attack = gen3dadv.build_add_points_attack(model_fn, cfg)
         full, added, dist, success = attack(
