@@ -41,8 +41,14 @@ def query_ball_point(
     # Rank key: index for in-ball points, N for the rest -> top_k(-key)
     # yields the nsample smallest-index in-ball points, then fillers.
     rank = jnp.where(in_ball, point_idx, n).astype(jnp.int32)
-    neg_smallest, _ = jax.lax.top_k(-rank, nsample)  # [B, S, nsample]
+    k = min(nsample, n)
+    neg_smallest, _ = jax.lax.top_k(-rank, k)  # [B, S, k]
     group_idx = -neg_smallest
+    if k < nsample:
+        # tiny clouds (N < nsample): pad with out-of-ball sentinels, the
+        # fill logic below replaces them with the first in-ball index
+        pad = jnp.full(group_idx.shape[:-1] + (nsample - k,), n, jnp.int32)
+        group_idx = jnp.concatenate([group_idx, pad], axis=-1)
     # Pad slots (value n) repeat the first in-ball index; if the ball is
     # empty the reference also degenerates to index 0 via its sort.
     first = group_idx[..., :1]
