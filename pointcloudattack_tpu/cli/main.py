@@ -1,0 +1,517 @@
+"""Command-line entry points: train / test / attack / make-splits /
+test-advdata.
+
+One CLI replaces the reference's scattered scripts:
+  * ``train``        -> reference train.py
+  * ``test``         -> reference test.py
+  * ``attack ...``   -> reference attack/*/Eval_*.py (one subcommand per
+                        family, same flags and output artifacts: txt adv
+                        dumps, npz result bundles, CSV logs)
+  * ``make-splits``  -> reference get_dataset_csv.py
+  * ``test-advdata`` -> reference Test_AdvData.py (whose import was broken
+                        upstream, SURVEY.md §5 "latent defects")
+
+Run as ``python -m pointcloudattack_tpu.cli <subcommand> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from pointcloudattack_tpu.utils.config import (
+    RunConfig,
+    add_common_args,
+    run_config_from_args,
+)
+
+
+def _load_dataset(cfg: RunConfig, split: str = "train"):
+    """Returns (clouds [M,N,3] generator-compatible dataset, num_classes)."""
+    from pointcloudattack_tpu import data as D
+
+    if cfg.dataset == "synthetic":
+        num_classes = cfg.num_classes or 10
+        clouds, labels = D.make_synthetic_clouds(
+            num_classes, 16, cfg.num_points, seed=cfg.seed
+        )
+
+        class _ListDS:
+            num_classes_ = num_classes
+
+            def __len__(self):
+                return len(labels)
+
+            def __getitem__(self, i):
+                return clouds[i], int(labels[i])
+
+        ds = _ListDS()
+        return ds, num_classes
+    if cfg.dataset == "Bosphorus":
+        ds = D.BosphorusDataset(cfg.dataset_path, num_points=cfg.num_points)
+        return ds, cfg.num_classes or ds.num_classes
+    if cfg.dataset == "Eurecom":
+        ds = D.EurecomDataset(cfg.dataset_path, num_points=cfg.num_points)
+        return ds, cfg.num_classes or ds.num_classes
+    if cfg.dataset == "ModelNet":
+        ds = D.ModelNetDataset(
+            cfg.dataset_path, split=split, num_points=cfg.num_points,
+            data_augmentation=(split == "train"),
+        )
+        return ds, cfg.num_classes or ds.num_classes
+    if cfg.dataset == "ShapeNet":
+        ds = D.ShapeNetDataset(
+            cfg.dataset_path, split=split, num_points=cfg.num_points,
+            classification=True,
+            data_augmentation=(split == "train"),
+        )
+        return ds, cfg.num_classes or ds.num_classes
+    raise SystemExit(f"unknown dataset {cfg.dataset!r}")
+
+
+def _build_model(cfg: RunConfig, num_classes: int):
+    import jax
+
+    from pointcloudattack_tpu import models
+
+    kw = {}
+    if cfg.model == "DGCNN":
+        kw = {"k": cfg.k, "emb_dims": cfg.emb_dims, "dropout": cfg.dropout}
+    if cfg.model == "PointNet":
+        kw = {"feature_transform": cfg.feature_transform}
+    model = models.make_model(cfg.model, num_classes, **kw)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(cfg.seed), num_points=cfg.num_points,
+        batch=2,
+    )
+    return model, variables
+
+
+def _restore(cfg: RunConfig, model_name: str, path: str, variables):
+    """Restore from an orbax dir or port a torch .pth."""
+    if not path:
+        return variables
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from pointcloudattack_tpu.train.torch_port import port_checkpoint
+
+        return port_checkpoint(model_name, path)
+    from pointcloudattack_tpu.train.checkpoint import restore_checkpoint
+
+    return restore_checkpoint(path, like=variables)
+
+
+def cmd_train(args):
+    from pointcloudattack_tpu import data as D
+    from pointcloudattack_tpu import models
+    from pointcloudattack_tpu.train.checkpoint import save_checkpoint
+    from pointcloudattack_tpu.train.trainer import TrainConfig, fit
+
+    cfg = run_config_from_args(args)
+    ds, num_classes = _load_dataset(cfg, "train")
+    items = [ds[i] for i in range(len(ds))]
+    clouds = np.stack([it[0] for it in items])
+    labels = np.asarray([it[1] for it in items], dtype=np.int64)
+
+    model, variables = _build_model(cfg, num_classes)
+    tcfg = TrainConfig(
+        learning_rate=args.lr,
+        epochs=args.epochs,
+        batch_size=cfg.batch_size,
+        label_smoothing=0.2 if cfg.model == "CurveNet" else 0.0,
+        output_kind=models.OUTPUT_KIND[cfg.model],
+        feature_transform_reg=0.001 if cfg.feature_transform else 0.0,
+    )
+    variables = fit(
+        model, variables, tcfg, clouds, labels,
+        eval_data=clouds, eval_labels=labels, seed=cfg.seed,
+        log_fn=print,
+    )
+    out = os.path.join(
+        cfg.output_dir,
+        f"{cfg.model}_model_on_{cfg.dataset}",
+    )
+    save_checkpoint(out, variables)
+    print(f"saved checkpoint to {out}")
+
+
+def cmd_test(args):
+    from pointcloudattack_tpu.parallel.driver import sharded_accuracy
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    cfg = run_config_from_args(args)
+    ds, num_classes = _load_dataset(cfg, "test")
+    items = [ds[i] for i in range(len(ds))]
+    clouds = np.stack([it[0] for it in items])
+    labels = np.asarray([it[1] for it in items], dtype=np.int64)
+
+    model, variables = _build_model(cfg, num_classes)
+    variables = _restore(cfg, cfg.model, cfg.checkpoint, variables)
+    acc = sharded_accuracy(make_model_fn(model, variables), clouds, labels)
+    print(f"accuracy: {acc:.4f} ({len(labels)} examples)")
+    return acc
+
+
+def _dump_adv(outdir, name, adv, labels, preds):
+    """Per-cloud txt dumps like the reference AdvData folders."""
+    os.makedirs(outdir, exist_ok=True)
+    for i in range(len(adv)):
+        path = os.path.join(
+            outdir, f"{name}_{i}_label{int(labels[i])}_pred{int(preds[i])}.txt"
+        )
+        np.savetxt(path, np.asarray(adv[i]), fmt="%.6f")
+
+
+def cmd_attack(args):
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    cfg = run_config_from_args(args)
+    ds, num_classes = _load_dataset(cfg, "test")
+    n = min(len(ds), args.num_samples) if args.num_samples else len(ds)
+    items = [ds[i] for i in range(n)]
+    clouds = np.stack([it[0] for it in items]).astype(np.float32)
+    labels = np.asarray([it[1] for it in items], dtype=np.int64)
+
+    model, variables = _build_model(cfg, num_classes)
+    variables = _restore(cfg, cfg.model, cfg.checkpoint, variables)
+    model_fn = make_model_fn(model, variables)
+
+    targeted = args.attack_method == "target"
+    key = jax.random.PRNGKey(cfg.seed)
+    family = args.family
+    t0 = time.time()
+
+    data = jnp.asarray(clouds)
+    target = jnp.asarray(labels)
+
+    if family in ("cw", "perturb"):
+        from pointcloudattack_tpu.attacks.cw import (
+            CWPerturbConfig,
+            build_cw_attack,
+        )
+
+        acfg = CWPerturbConfig(
+            attack_lr=args.attack_lr, binary_step=args.binary_step,
+            num_iter=args.num_iter, kappa=args.kappa, budget=args.budget,
+            targeted=targeted, adv_func=args.adv_func,
+        )
+        res = build_cw_attack(model_fn, acfg)(data, target, key)
+        adv, success = res.best_attack, res.success
+    elif family == "knn":
+        from pointcloudattack_tpu.attacks.knn import (
+            KNNAttackConfig,
+            build_knn_attack,
+        )
+
+        acfg = KNNAttackConfig(
+            attack_lr=args.attack_lr, num_iter=args.num_iter,
+            kappa=args.kappa, budget=args.budget, targeted=targeted,
+            adv_func=args.adv_func,
+        )
+        adv, success = build_knn_attack(model_fn, acfg)(data, target, key)
+    elif family == "geoa3":
+        from pointcloudattack_tpu.attacks.geoa3 import (
+            GeoA3Config,
+            build_geoa3_attack,
+        )
+
+        acfg = GeoA3Config(
+            lr=args.attack_lr, binary_max_steps=args.binary_step,
+            iter_max_steps=args.num_iter, targeted=targeted,
+        )
+        adv, _, success = build_geoa3_attack(model_fn, acfg)(
+            data, target, key
+        )
+    elif family in ("aof", "taof"):
+        from pointcloudattack_tpu.attacks.aof import (
+            AOFConfig,
+            build_aof_attack,
+        )
+
+        acfg = AOFConfig(
+            attack_lr=args.attack_lr, binary_step=args.binary_step,
+            num_iter=args.num_iter, budget=args.budget, kappa=args.kappa,
+            targeted=(family == "taof"), low_pass=args.low_pass,
+        )
+        adv, best_dist, success = build_aof_attack(model_fn, acfg)(
+            data, target, key
+        )
+        # npz result bundle like reference Eval_AOF.py:245-259
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        np.savez(
+            os.path.join(cfg.output_dir, f"{family}_results.npz"),
+            test_pc=np.asarray(adv),
+            test_label=labels,
+            target_label=labels,
+        )
+    elif family == "siadv":
+        from pointcloudattack_tpu.attacks.siadv import (
+            SIAdvConfig,
+            build_si_ifgm,
+        )
+
+        acfg = SIAdvConfig(
+            eps=args.budget, step_size=args.step_size,
+            max_steps=args.num_iter,
+        )
+        adv, pred, success = build_si_ifgm(model_fn, model_fn, acfg)(
+            data, target
+        )
+    elif family in ("simba", "simbapp", "si-query"):
+        from pointcloudattack_tpu.attacks import siadv as S
+
+        acfg = S.SIAdvConfig(eps=args.budget, step_size=args.step_size)
+        if family == "simba":
+            adv, pred, success, queries = S.build_simba(model_fn, acfg)(
+                data, target, key
+            )
+        elif family == "simbapp":
+            adv, pred, success, queries = S.build_simbapp(
+                model_fn, model_fn, acfg
+            )(data, target, key)
+        else:
+            adv, pred, success, queries = S.build_si_query_attack(
+                model_fn, model_fn, acfg
+            )(data, target)
+        print(f"mean query cost: {np.asarray(queries).mean():.1f}")
+    elif family == "cta":
+        from pointcloudattack_tpu.attacks.cta import (
+            CTAConfig,
+            build_cta_attack,
+        )
+
+        acfg = CTAConfig(target_mode=args.cta_target_mode)
+        adv, pred, success, steps = build_cta_attack(model_fn, acfg)(
+            data, target, key
+        )
+    elif family == "iso":
+        from pointcloudattack_tpu.attacks import iso as I
+
+        bandit = I.BernThompson(
+            d=4, a0=-np.pi, b0=np.pi, seed=cfg.seed
+        )
+        grad_attack = I.build_gradient_iso_attack(
+            model_fn,
+            I.ISOConfig(step_size=args.step_size or 0.01,
+                        num_steps=args.num_iter),
+        )
+        rows, succ_list, adv_list = [], [], []
+        for i in range(len(labels)):
+            obj = data[i : i + 1]
+            lab = target[i : i + 1]
+            w, ok, tries = I.thompson_sample_attack(
+                model_fn, bandit, obj, lab, num_init=args.num_init
+            )
+            steps = 0
+            pen = 0.0
+            if not ok:
+                w, okv, pen, steps = grad_attack(
+                    obj, lab, w, jax.random.fold_in(key, i)
+                )
+                ok = bool(np.asarray(okv).all())
+            succ_list.append(ok)
+            adv_list.append(np.asarray(I.apply_iso(obj, w))[0])
+            rows.append(
+                [i, int(labels[i]), int(ok), float(pen), int(steps),
+                 float(np.mean(succ_list))]
+            )
+        # CSV log like reference iso_utils.log_row
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        import csv as _csv
+
+        with open(
+            os.path.join(cfg.output_dir, "iso_attack_log.csv"), "w",
+            newline="",
+        ) as f:
+            w = _csv.writer(f)
+            w.writerow(
+                ["index", "label", "success", "penalty", "steps",
+                 "running_success_rate"]
+            )
+            w.writerows(rows)
+        adv = np.stack(adv_list)
+        success = np.asarray(succ_list)
+    elif family == "add-points":
+        from pointcloudattack_tpu.attacks.gen3dadv import (
+            AddPointsConfig,
+            build_add_points_attack,
+        )
+
+        acfg = AddPointsConfig(
+            attack_lr=args.attack_lr, binary_step=args.binary_step,
+            num_iter=args.num_iter, num_add=args.num_add,
+            targeted=targeted, kappa=args.kappa,
+        )
+        adv, added, dist, success = build_add_points_attack(
+            model_fn, acfg
+        )(data, target, key)
+    elif family == "add-clusters":
+        from pointcloudattack_tpu.attacks.gen3dadv import (
+            AddClustersConfig,
+            build_add_clusters_attack,
+        )
+
+        acfg = AddClustersConfig(
+            attack_lr=args.attack_lr, binary_step=args.binary_step,
+            num_iter=args.num_iter, targeted=targeted, kappa=args.kappa,
+        )
+        adv, added, dist, success = build_add_clusters_attack(
+            model_fn, acfg
+        )(data, target, key)
+    else:
+        raise SystemExit(f"unknown attack family {family!r}")
+
+    dt = time.time() - t0
+    success = np.asarray(success)
+    asr = float(success.mean())
+    print(
+        f"attack {family}: ASR {asr:.3f} "
+        f"({int(success.sum())}/{len(success)}) in {dt:.1f}s"
+    )
+
+    # imperceptibility metrics (reference Eval_SIadv.py:140-157)
+    if np.asarray(adv).shape[1] == clouds.shape[1]:
+        import jax.numpy as jnp
+
+        from pointcloudattack_tpu.losses.distance import (
+            chamfer_dist,
+            hausdorff_dist,
+        )
+
+        a = jnp.asarray(np.asarray(adv))
+        o = jnp.asarray(clouds)
+        mse = float(
+            np.sqrt(((np.asarray(adv) - clouds) ** 2).mean())
+        )
+        cd = float(np.mean(np.asarray(chamfer_dist(a, o))))
+        hd = float(np.mean(np.asarray(hausdorff_dist(a, o))))
+        print(f"MSE {mse:.6f}  Chamfer {cd:.6f}  Hausdorff {hd:.6f}")
+
+    preds = np.argmax(
+        np.asarray(model_fn(jnp.asarray(np.asarray(adv)))), axis=-1
+    )
+    if args.save_adv:
+        _dump_adv(
+            os.path.join(cfg.output_dir, "AdvData", cfg.model),
+            family, np.asarray(adv), labels, preds,
+        )
+    summary = {
+        "family": family, "model": cfg.model, "asr": asr,
+        "wall_clock_s": dt, "n": int(len(success)),
+    }
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    with open(
+        os.path.join(cfg.output_dir, f"attack_{family}_summary.json"), "w"
+    ) as f:
+        json.dump(summary, f)
+    return asr
+
+
+def cmd_test_advdata(args):
+    """Re-classify saved adversarial txt clouds (reference Test_AdvData.py)."""
+    import jax.numpy as jnp
+
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    cfg = run_config_from_args(args)
+    model, variables = _build_model(cfg, cfg.num_classes or 10)
+    variables = _restore(cfg, cfg.model, cfg.checkpoint, variables)
+    model_fn = make_model_fn(model, variables)
+
+    files = sorted(
+        os.path.join(args.adv_dir, f)
+        for f in os.listdir(args.adv_dir)
+        if f.endswith(".txt")
+    )
+    correct = 0
+    for path in files:
+        pts = np.loadtxt(path).astype(np.float32)[None]
+        pred = int(
+            np.argmax(np.asarray(model_fn(jnp.asarray(pts))), axis=-1)[0]
+        )
+        label = None
+        for tok in os.path.basename(path).split("_"):
+            if tok.startswith("label"):
+                label = int(tok.removeprefix("label"))
+        state = "?" if label is None else ("OK" if pred == label else "ADV")
+        if label is not None and pred == label:
+            correct += 1
+        print(f"{os.path.basename(path)}: pred={pred} [{state}]")
+    print(f"{correct}/{len(files)} recovered to true label")
+
+
+def cmd_make_splits(args):
+    from pointcloudattack_tpu.data.csvsplit import generate_split_csvs
+
+    train, ev, test, dirty = generate_split_csvs(
+        args.data_root, ext=args.ext, seed=args.seed
+    )
+    print(
+        f"train {len(train)}  eval {len(ev)}  test {len(test)}  "
+        f"dirty {len(dirty)}"
+    )
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(prog="pointcloudattack_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = add_common_args(sub.add_parser("train"))
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.set_defaults(fn=cmd_train)
+
+    p = add_common_args(sub.add_parser("test"))
+    p.set_defaults(fn=cmd_test)
+
+    p = add_common_args(sub.add_parser("attack"))
+    p.add_argument("family",
+                   help="cw | knn | geoa3 | aof | taof | cta | iso | siadv |"
+                        " simba | simbapp | si-query | perturb | add-points |"
+                        " add-clusters")
+    p.add_argument("--attack_method", default="untarget",
+                   help="untarget | target | top1_error")
+    p.add_argument("--adv_func", default="logits",
+                   help="logits | cross_entropy")
+    p.add_argument("--kappa", type=float, default=30.0)
+    p.add_argument("--attack_lr", type=float, default=1e-2)
+    p.add_argument("--binary_step", type=int, default=10)
+    p.add_argument("--num_iter", type=int, default=500)
+    p.add_argument("--budget", type=float, default=0.18)
+    p.add_argument("--step_size", type=float, default=0.32)
+    p.add_argument("--low_pass", type=int, default=100)
+    p.add_argument("--num_add", type=int, default=512)
+    p.add_argument("--num_init", type=int, default=10)
+    p.add_argument("--num_samples", type=int, default=0,
+                   help="0 = whole dataset")
+    p.add_argument("--cta_target_mode", default="untarget")
+    p.add_argument("--save_adv", action="store_true")
+    p.set_defaults(fn=cmd_attack)
+
+    p = add_common_args(sub.add_parser("test-advdata"))
+    p.add_argument("--adv_dir", required=True)
+    p.set_defaults(fn=cmd_test_advdata)
+
+    p = sub.add_parser("make-splits")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--ext", default=".bnt")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_make_splits)
+
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

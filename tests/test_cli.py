@@ -1,0 +1,65 @@
+"""End-to-end CLI tests on the synthetic dataset (train -> test -> attack)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pointcloudattack_tpu.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    main([
+        "train", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3", "--epochs", "25",
+        "--batch_size", "12", "--output_dir", out,
+    ])
+    ckpt = os.path.join(out, "PointNet_model_on_synthetic")
+    assert os.path.exists(ckpt)
+    return out, ckpt
+
+
+def test_train_and_test(trained_run):
+    out, ckpt = trained_run
+    acc = main([
+        "test", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+    ])
+    assert acc == 1.0
+
+
+def test_attack_cw_cli(trained_run):
+    out, ckpt = trained_run
+    asr = main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--binary_step", "2", "--num_iter", "50", "--kappa", "0",
+        "--budget", "0.45", "--num_samples", "6", "--save_adv",
+    ])
+    assert asr >= 0.8
+    summary = json.load(
+        open(os.path.join(out, "attack_cw_summary.json"))
+    )
+    assert summary["family"] == "cw"
+    adv_dir = os.path.join(out, "AdvData", "PointNet")
+    files = os.listdir(adv_dir)
+    assert len(files) == 6
+    cloud = np.loadtxt(os.path.join(adv_dir, files[0]))
+    assert cloud.shape == (64, 3)
+
+
+def test_test_advdata_cli(trained_run, capsys):
+    out, ckpt = trained_run
+    adv_dir = os.path.join(out, "AdvData", "PointNet")
+    main([
+        "test-advdata", "--model", "PointNet", "--num_points", "64",
+        "--num_classes", "3", "--checkpoint", ckpt,
+        "--adv_dir", adv_dir, "--output_dir", out,
+    ])
+    captured = capsys.readouterr().out
+    assert "recovered to true label" in captured
