@@ -1,0 +1,64 @@
+"""Visualization tests: native + numpy renderers agree; plots compute."""
+
+import numpy as np
+import pytest
+
+from pointcloudattack_tpu.viz import render as R
+from pointcloudattack_tpu.viz import plots
+
+RNG = np.random.RandomState(44)
+
+
+def test_numpy_render_basic():
+    pts = RNG.randn(200, 3)
+    img = R.render_cloud(pts, size=64, radius=2, use_native=False)
+    assert img.shape == (64, 64, 3)
+    assert img.max() > 0  # something was drawn
+
+
+def test_native_render_matches_numpy():
+    lib = R._load_library()
+    if lib is None:
+        pytest.skip("no g++ toolchain for the native renderer")
+    pts = RNG.randn(100, 3)
+    a = R.render_cloud(pts, size=64, radius=2, use_native=True)
+    b = R.render_cloud(pts, size=64, radius=2, use_native=False)
+    # identical splatting algorithm -> nearly identical pixels
+    assert (a != b).mean() < 0.01
+
+
+def test_depth_ordering():
+    """A front point must occlude a back point at the same pixel."""
+    pts = np.array([[0.0, 0.0, -0.5], [0.0, 0.0, 0.5]])
+    colors = np.array([[255.0, 0, 0], [0, 255.0, 0]])
+    img = R.render_cloud(
+        pts, size=32, radius=3, color=colors, use_native=False
+    )
+    center = img[16, 16]
+    assert center[1] > center[0]  # green (front) wins
+
+
+def test_rotation_matrix_orthonormal():
+    r = R.rotation_matrix(0.5, -0.3)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-10)
+
+
+def test_save_ppm(tmp_path):
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[0, 0] = [255, 128, 0]
+    path = str(tmp_path / "out.ppm")
+    R.save_ppm(path, img)
+    with open(path, "rb") as f:
+        header = f.readline()
+        assert header == b"P6\n"
+
+
+def test_convergence_and_loss_plots(tmp_path):
+    lh = np.stack(
+        [np.linspace(1.0, 0.1, 50) + 0.01 * RNG.rand(50) for _ in range(4)],
+        axis=1,
+    )
+    idx = plots.plot_convergence_hist(lh, str(tmp_path / "conv.png"))
+    assert idx.shape == (4,)
+    curve = plots.plot_loss_curves(lh, str(tmp_path / "loss.png"))
+    assert len(curve) == 50
