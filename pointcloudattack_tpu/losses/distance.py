@@ -25,14 +25,32 @@ def l2_dist(adv: jax.Array, ori: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.sum((adv - ori) ** 2, axis=(1, 2)))
 
 
+# Beyond this many pairwise entries the dense [N, M] matrix stops being
+# fusion-friendly; route through the tiled Pallas kernel on TPU.
+_FUSED_KERNEL_THRESHOLD = 4096 * 4096
+
+
+def _min_rows(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Per-row nearest-neighbour sqdist, fused kernel for large N on TPU."""
+    if x.shape[-2] * y.shape[-2] >= _FUSED_KERNEL_THRESHOLD:
+        from pointcloudattack_tpu.ops.pallas.chamfer_kernel import (
+            min_sqdist_rows,
+        )
+
+        mins, _ = min_sqdist_rows(x, y)
+        return mins
+    d = pairwise_sqdist(x, y)
+    return jnp.min(d, axis=-1)
+
+
 def chamfer_both(adv: jax.Array, ori: jax.Array):
     """(adv->ori, ori->adv) mean-of-min squared distances, each [B].
 
     Reference attack/CW/CW_utils/distance.py:35-50.
     """
-    d = pairwise_sqdist(adv, ori)  # [B, Na, No]
-    return jnp.mean(jnp.min(d, axis=2), axis=1), jnp.mean(
-        jnp.min(d, axis=1), axis=1
+    return (
+        jnp.mean(_min_rows(adv, ori), axis=-1),
+        jnp.mean(_min_rows(ori, adv), axis=-1),
     )
 
 
@@ -53,9 +71,9 @@ def hausdorff_both(adv: jax.Array, ori: jax.Array):
 
     Reference attack/CW/CW_utils/distance.py:53-70.
     """
-    d = pairwise_sqdist(adv, ori)
-    return jnp.max(jnp.min(d, axis=2), axis=1), jnp.max(
-        jnp.min(d, axis=1), axis=1
+    return (
+        jnp.max(_min_rows(adv, ori), axis=-1),
+        jnp.max(_min_rows(ori, adv), axis=-1),
     )
 
 
