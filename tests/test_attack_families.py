@@ -80,3 +80,49 @@ def test_geoa3_with_extras(trained_pointnet):
         jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]), jax.random.PRNGKey(0)
     )
     assert np.all(np.isfinite(np.asarray(adv)))
+
+
+def test_geoa3_partial_variable(trained_pointnet):
+    """Patch-wise GeoA3 (is_partial_var mode) runs and can succeed."""
+    from pointcloudattack_tpu.attacks.geoa3_partial import (
+        GeoA3PartialConfig,
+        build_geoa3_partial_attack,
+    )
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = GeoA3PartialConfig(
+        binary_max_steps=2, iter_max_steps=100, initial_const=1.0,
+        curv_loss_knn=8, normal_k=4, knn_range=24, refresh_iters=25,
+    )
+    attack = build_geoa3_partial_attack(model_fn, cfg)
+    adv, best_loss, success = attack(
+        jnp.asarray(clouds[:3]), jnp.asarray(labels[:3]),
+        jax.random.PRNGKey(0),
+    )
+    adv = np.asarray(adv)
+    assert np.all(np.isfinite(adv))
+    # patch mode: only a subset of points may move per round
+    moved = (np.abs(adv - clouds[:3]).max(-1) > 1e-6).sum(-1)
+    assert moved.max() <= 3 * 24 * 2 + 1  # bounded by patches touched
+
+
+def test_geoa3_partial_subsample(trained_pointnet):
+    from pointcloudattack_tpu.attacks.geoa3_partial import (
+        GeoA3PartialConfig,
+        build_geoa3_partial_attack,
+    )
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = GeoA3PartialConfig(
+        binary_max_steps=1, iter_max_steps=30, initial_const=1.0,
+        curv_loss_knn=8, normal_k=4, knn_range=16, refresh_iters=15,
+        subsample_npoint=32,
+    )
+    attack = build_geoa3_partial_attack(model_fn, cfg)
+    adv, _, _ = attack(
+        jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]),
+        jax.random.PRNGKey(1),
+    )
+    assert np.all(np.isfinite(np.asarray(adv)))
