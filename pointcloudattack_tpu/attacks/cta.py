@@ -45,6 +45,11 @@ class CTAConfig:
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-8
+    # distance penalty of the CTA_sumloss variant
+    # (reference attack/CTA/CTA_sumloss.py:171-178 adds beta * Hausdorff;
+    # CTA.py's penalize_dis flag uses Chamfer, CTA.py:166-173)
+    penalize_dis: str = "none"  # "none" | "chamfer" | "hausdorff"
+    beta: float = 1.0
 
 
 def integrated_gradients(
@@ -108,7 +113,7 @@ def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
             targeted = False
 
         def objective(x):
-            """alpha * (act[ori] - act[other/target]); [B]."""
+            """alpha * (act[ori] - act[other/target]) (+ dist term); [B]."""
             lg = model_fn(x)
             act_ori = jnp.sum(one_hot_ori * lg, axis=-1)
             if targeted:
@@ -117,7 +122,18 @@ def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
                 )[:, 0]
             else:
                 act_other = jnp.max(lg - one_hot_ori * 1e9, axis=-1)
-            return cfg.alpha * (act_ori - act_other)
+            obj = cfg.alpha * (act_ori - act_other)
+            if cfg.penalize_dis == "chamfer":
+                from pointcloudattack_tpu.losses.distance import chamfer_dist
+
+                obj = obj + cfg.beta * chamfer_dist(x, points, "both")
+            elif cfg.penalize_dis == "hausdorff":
+                from pointcloudattack_tpu.losses.distance import (
+                    hausdorff_dist,
+                )
+
+                obj = obj + cfg.beta * hausdorff_dist(x, points)
+            return obj
 
         grad_fn = jax.grad(lambda x: jnp.sum(objective(x)))
 

@@ -173,15 +173,35 @@ def cmd_attack(args):
     from pointcloudattack_tpu.utils.apply import make_model_fn
 
     cfg = run_config_from_args(args)
-    ds, num_classes = _load_dataset(cfg, "test")
-    n = min(len(ds), args.num_samples) if args.num_samples else len(ds)
-    items = [ds[i] for i in range(n)]
-    clouds = np.stack([it[0] for it in items]).astype(np.float32)
-    labels = np.asarray([it[1] for it in items], dtype=np.int64)
+    if args.face_txt:
+        # face-probe targeted experiments: one txt cloud, repeated
+        # (reference attack/KNN/Eval_KNN.py targeted branch,
+        # attack/AOF/Eval_TAOF_face0424.py)
+        from pointcloudattack_tpu.data.io import normalize_cloud, read_xyz
+
+        pts = read_xyz(args.face_txt)[:, :3]
+        rng = np.random.RandomState(cfg.seed)
+        order = rng.permutation(len(pts))[: cfg.num_points]
+        clouds = normalize_cloud(pts[order]).astype(np.float32)[None]
+        labels = np.asarray([args.face_label], dtype=np.int64)
+        num_classes = cfg.num_classes or 106
+    else:
+        ds, num_classes = _load_dataset(cfg, "test")
+        n = min(len(ds), args.num_samples) if args.num_samples else len(ds)
+        items = [ds[i] for i in range(n)]
+        clouds = np.stack([it[0] for it in items]).astype(np.float32)
+        labels = np.asarray([it[1] for it in items], dtype=np.int64)
 
     model, variables = _build_model(cfg, num_classes)
     variables = _restore(cfg, cfg.model, cfg.checkpoint, variables)
     model_fn = make_model_fn(model, variables)
+    if args.defense != "none":
+        from pointcloudattack_tpu.attacks.evaluation import with_defense
+
+        model_fn = with_defense(
+            model_fn, args.defense, key=jax.random.PRNGKey(cfg.seed + 7),
+            npoint=cfg.num_points,
+        )
 
     targeted = args.attack_method == "target"
     key = jax.random.PRNGKey(cfg.seed)
@@ -190,6 +210,14 @@ def cmd_attack(args):
 
     data = jnp.asarray(clouds)
     target = jnp.asarray(labels)
+    if args.attack_method == "top1_error":
+        # attack toward the clean prediction's runner-up class
+        # (reference attack/CW/CW_attack.py:86-89)
+        clean_logits = np.asarray(model_fn(data))
+        order2 = np.argsort(-clean_logits, axis=-1)[:, 1]
+        target = jnp.asarray(order2.astype(np.int64))
+        labels = np.asarray(order2, dtype=np.int64)
+        targeted = True
 
     if family in ("cw", "perturb"):
         from pointcloudattack_tpu.attacks.cw import (
@@ -406,12 +434,46 @@ def cmd_attack(args):
         "family": family, "model": cfg.model, "asr": asr,
         "wall_clock_s": dt, "n": int(len(success)),
     }
+
+    # shuffle + transfer self-tests (reference CW_attack.py:226-257)
+    if np.asarray(adv).shape[1] == clouds.shape[1]:
+        from pointcloudattack_tpu.attacks.evaluation import (
+            shuffle_robustness,
+            transfer_matrix,
+        )
+
+        adv_j = jnp.asarray(np.asarray(adv))
+        shuf = shuffle_robustness(
+            model_fn, adv_j, jnp.asarray(labels),
+            jax.random.PRNGKey(cfg.seed + 1), targeted=targeted,
+        )
+        summary["shuffle_asr"] = shuf
+        print(f"shuffle-robust ASR: {shuf:.3f}")
+        if args.transfer_test and cfg.trans_model:
+            t_model, t_vars = _build_model(
+                dataclasses_replace_model(cfg, cfg.trans_model), num_classes
+            )
+            t_vars = _restore(
+                cfg, cfg.trans_model, cfg.trans_checkpoint, t_vars
+            )
+            mat = transfer_matrix(
+                {cfg.trans_model: make_model_fn(t_model, t_vars)},
+                adv_j, jnp.asarray(labels), targeted=targeted,
+            )
+            summary["transfer_asr"] = mat
+            print(f"transfer ASR: {mat}")
     os.makedirs(cfg.output_dir, exist_ok=True)
     with open(
         os.path.join(cfg.output_dir, f"attack_{family}_summary.json"), "w"
     ) as f:
         json.dump(summary, f)
     return asr
+
+
+def dataclasses_replace_model(cfg: RunConfig, model: str) -> RunConfig:
+    import dataclasses as _dc
+
+    return _dc.replace(cfg, model=model)
 
 
 def cmd_test_advdata(args):
@@ -493,6 +555,13 @@ def build_parser():
                    help="0 = whole dataset")
     p.add_argument("--cta_target_mode", default="untarget")
     p.add_argument("--save_adv", action="store_true")
+    p.add_argument("--defense", default="none",
+                   help="pre-head on the victim: none | sor | srs | dupnet")
+    p.add_argument("--transfer_test", action="store_true",
+                   help="evaluate transfer ASR on --trans_model")
+    p.add_argument("--face_txt", default="",
+                   help="single face-probe txt cloud (targeted experiments)")
+    p.add_argument("--face_label", type=int, default=105)
     p.set_defaults(fn=cmd_attack)
 
     p = add_common_args(sub.add_parser("test-advdata"))

@@ -63,3 +63,58 @@ def test_test_advdata_cli(trained_run, capsys):
     ])
     captured = capsys.readouterr().out
     assert "recovered to true label" in captured
+
+
+def test_attack_with_transfer_and_shuffle(trained_run):
+    out, ckpt = trained_run
+    asr = main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--trans_model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--trans_checkpoint", ckpt,
+        "--output_dir", out,
+        "--binary_step", "1", "--num_iter", "30", "--kappa", "0",
+        "--budget", "0.45", "--num_samples", "4", "--transfer_test",
+    ])
+    summary = json.load(open(os.path.join(out, "attack_cw_summary.json")))
+    assert "shuffle_asr" in summary
+    assert "transfer_asr" in summary
+
+
+def test_attack_top1_error(trained_run):
+    out, ckpt = trained_run
+    main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--attack_method", "top1_error",
+        "--binary_step", "1", "--num_iter", "30", "--kappa", "0",
+        "--budget", "0.45", "--num_samples", "2",
+    ])
+
+
+def test_attack_with_defense(trained_run):
+    out, ckpt = trained_run
+    main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out, "--defense", "sor",
+        "--binary_step", "1", "--num_iter", "20", "--kappa", "0",
+        "--budget", "0.45", "--num_samples", "2",
+    ])
+
+
+def test_attack_face_probe(trained_run, tmp_path):
+    out, ckpt = trained_run
+    face = np.random.RandomState(0).randn(200, 5)
+    path = str(tmp_path / "face.txt")
+    np.savetxt(path, face)
+    main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--face_txt", path, "--face_label", "1",
+        "--attack_method", "target",
+        "--binary_step", "1", "--num_iter", "20", "--kappa", "0",
+        "--budget", "0.45",
+    ])
