@@ -110,7 +110,19 @@ def cw_attack(
         adv, opt_state, best = carry
         (bestdist, bestscore, o_bestdist, o_bestscore, o_bestattack, w) = best
 
-        logits = model_fn(adv)
+        def total_loss(a):
+            lg = model_fn(a)
+            return (
+                jnp.sum(adv_loss_fn(lg, target) + dist_loss_fn(a, ori) * w),
+                lg,
+            )
+
+        # one fused forward serves both the best-tracking evaluation and
+        # the gradient (the reference reuses its forward the same way,
+        # CW_attack.py:115-169)
+        (_, logits), grads = jax.value_and_grad(total_loss, has_aux=True)(
+            adv
+        )
         pred = jnp.argmax(logits, axis=-1)
         dist = track(adv, ori)
         succ = _success(pred, target, cfg.targeted)
@@ -125,12 +137,6 @@ def cw_attack(
         o_bestattack = jnp.where(
             o_improved[:, None, None], adv, o_bestattack
         )
-
-        def total_loss(a):
-            lg = model_fn(a)
-            return jnp.sum(adv_loss_fn(lg, target) + dist_loss_fn(a, ori) * w)
-
-        grads = jax.grad(total_loss)(adv)
         updates, opt_state = opt.update(grads, opt_state, adv)
         adv_new = optax.apply_updates(adv, updates)
         if clip_fn is not None:

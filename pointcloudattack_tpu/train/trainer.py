@@ -35,6 +35,7 @@ class TrainConfig:
     label_smoothing: float = 0.0  # reference uses 0.2 for CurveNet
     output_kind: str = "log_probs"  # or "logits" (CurveNet)
     feature_transform_reg: float = 0.0  # 0.001 when --feature_transform
+    task: str = "cls"  # "cls" | "seg" (per-point labels, PointNetDenseCls)
 
 
 def nll_loss(log_probs: jax.Array, labels: jax.Array) -> jax.Array:
@@ -94,6 +95,14 @@ def make_train_step(model, cfg: TrainConfig, steps_per_epoch: int):
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
+        if cfg.task == "seg":
+            # out [B, N, K], y [B, N] — flatten like reference
+            # train_segmentation's view(-1, num_classes)
+            out_flat = out.reshape(-1, out.shape[-1])
+            y_flat = y.reshape(-1)
+            loss = nll_loss(out_flat, y_flat)
+            acc = jnp.mean(jnp.argmax(out_flat, axis=-1) == y_flat)
+            return loss, (new_state["batch_stats"], acc)
         if cfg.output_kind == "logits" or cfg.label_smoothing > 0:
             loss = smoothed_ce_loss(out, y, cfg.label_smoothing)
         else:
