@@ -330,13 +330,19 @@ def cmd_attack(args):
             I.ISOConfig(step_size=args.step_size or 0.01,
                         num_steps=args.num_iter),
         )
-        rows, succ_list, adv_list = [], [], []
+        def true_prob(obj, lab):
+            prob = jax.nn.softmax(model_fn(obj), axis=-1)
+            return float(np.asarray(prob)[0, int(lab[0])])
+
+        rows, succ_list, init_succ, adv_list = [], [], 0, []
         for i in range(len(labels)):
             obj = data[i : i + 1]
             lab = target[i : i + 1]
+            prob_before = true_prob(obj, lab)
             w, ok, tries = I.thompson_sample_attack(
                 model_fn, bandit, obj, lab, num_init=args.num_init
             )
+            init_succ += int(ok)
             steps = 0
             pen = 0.0
             if not ok:
@@ -344,13 +350,21 @@ def cmd_attack(args):
                     obj, lab, w, jax.random.fold_in(key, i)
                 )
                 ok = bool(np.asarray(okv).all())
-            succ_list.append(ok)
-            adv_list.append(np.asarray(I.apply_iso(obj, w))[0])
-            rows.append(
-                [i, int(labels[i]), int(ok), float(pen), int(steps),
-                 float(np.mean(succ_list))]
+            adv_i = I.apply_iso(obj, w)
+            prob_after = true_prob(adv_i, lab)
+            pred_after = int(
+                np.argmax(np.asarray(model_fn(adv_i)), axis=-1)[0]
             )
-        # CSV log like reference iso_utils.log_row
+            succ_list.append(ok)
+            adv_list.append(np.asarray(adv_i)[0])
+            # reference per-sample schema:
+            # attack/ISO/logs_attack/ctri_modelnet40_PointNet_attack.csv
+            rows.append(
+                [i, int(labels[i]), round(prob_before, 5),
+                 round(prob_after, 5), pred_after, float(pen),
+                 int(steps), round(float(np.mean(succ_list)), 4),
+                 round(init_succ / (i + 1), 4)]
+            )
         os.makedirs(cfg.output_dir, exist_ok=True)
         import csv as _csv
 
@@ -360,8 +374,9 @@ def cmd_attack(args):
         ) as f:
             w = _csv.writer(f)
             w.writerow(
-                ["index", "label", "success", "penalty", "steps",
-                 "running_success_rate"]
+                ["index", "true_label", "prob_before", "prob_after",
+                 "pred_label", "penalty", "steps",
+                 "running_success_rate", "tsi_init_success_rate"]
             )
             w.writerows(rows)
         adv = np.stack(adv_list)

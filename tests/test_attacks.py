@@ -86,3 +86,23 @@ def test_backfill_on_hopeless_attack(trained_pointnet):
         np.asarray(res.best_attack), clouds[:2], atol=1e-4
     )
     assert not np.asarray(res.success).any()
+
+
+def test_cw_bf16_forward_asr_parity(trained_pointnet):
+    """Mixed-precision forward reaches the same ASR as f32."""
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables, compute_dtype=jnp.bfloat16)
+    # a real margin (the reference ships kappa=30) is what makes bf16
+    # attack outputs robust to the f32/bf16 rounding gap; kappa=0 clouds
+    # hug the decision boundary and do not transfer between precisions
+    cfg = CWPerturbConfig(binary_step=3, num_iter=100, kappa=3.0, budget=0.45)
+    attack = build_cw_attack(model_fn, cfg)
+    res = attack(
+        jnp.asarray(clouds[:8]), jnp.asarray(labels[:8]),
+        jax.random.PRNGKey(1),
+    )
+    assert np.asarray(res.success).mean() >= 0.875
+    # and the adversarial clouds fool the full-precision model too
+    f32_fn = make_model_fn(model, variables)
+    pred = np.argmax(np.asarray(f32_fn(res.best_attack)), -1)
+    assert (pred != labels[:8]).mean() >= 0.85

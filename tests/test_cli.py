@@ -118,3 +118,22 @@ def test_attack_face_probe(trained_run, tmp_path):
         "--binary_step", "1", "--num_iter", "20", "--kappa", "0",
         "--budget", "0.45",
     ])
+
+
+def test_attack_iso_cli_with_csv_log(trained_run):
+    out, ckpt = trained_run
+    main([
+        "attack", "iso", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--num_iter", "50", "--num_init", "4", "--num_samples", "2",
+        "--step_size", "0.05",
+    ])
+    import csv
+
+    with open(os.path.join(out, "iso_attack_log.csv")) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:4] == [
+        "index", "true_label", "prob_before", "prob_after"
+    ]
+    assert len(rows) == 3  # header + 2 samples
