@@ -23,7 +23,7 @@ from pointcloudattack_tpu.utils.apply import make_model_fn
 
 NUM_CLASSES = 40
 NUM_POINTS = 1024
-BATCH = 32
+BATCH = 64  # throughput peak on v5e (see batch sweep: 64 > 32/128/256)
 NUM_ITER = 200
 BINARY_STEPS = 1  # 200 optimization steps total, per the baseline config
 

@@ -195,6 +195,15 @@ def cmd_attack(args):
     model, variables = _build_model(cfg, num_classes)
     variables = _restore(cfg, cfg.model, cfg.checkpoint, variables)
     model_fn = make_model_fn(model, variables)
+    from pointcloudattack_tpu import models as _models
+
+    if _models.OUTPUT_KIND.get(cfg.model) == "logits":
+        # CurveNet emits raw logits; normalize to log-probs so CE-based
+        # attack losses stay correct (margin losses are shift-invariant)
+        import jax.nn as _jnn
+
+        raw_fn = model_fn
+        model_fn = lambda x: _jnn.log_softmax(raw_fn(x), axis=-1)
     if args.defense != "none":
         from pointcloudattack_tpu.attacks.evaluation import with_defense
 
@@ -206,6 +215,10 @@ def cmd_attack(args):
     targeted = args.attack_method == "target"
     key = jax.random.PRNGKey(cfg.seed)
     family = args.family
+    from pointcloudattack_tpu.utils.profiling import profile_trace
+
+    profile_ctx = profile_trace(getattr(args, "profile_dir", ""))
+    profile_ctx.__enter__()
     t0 = time.time()
 
     data = jnp.asarray(clouds)
@@ -412,6 +425,7 @@ def cmd_attack(args):
         raise SystemExit(f"unknown attack family {family!r}")
 
     dt = time.time() - t0
+    profile_ctx.__exit__(None, None, None)
     success = np.asarray(success)
     asr = float(success.mean())
     print(
@@ -577,6 +591,8 @@ def build_parser():
     p.add_argument("--face_txt", default="",
                    help="single face-probe txt cloud (targeted experiments)")
     p.add_argument("--face_label", type=int, default=105)
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler trace into this dir")
     p.set_defaults(fn=cmd_attack)
 
     p = add_common_args(sub.add_parser("test-advdata"))
