@@ -50,6 +50,8 @@ class SIAdvConfig:
     normal_k: int = 20
     max_queries: int = 3 * 1024  # SimBA basis size bound
     noise_std: float = 0.1  # SimBA++ step noise
+    top5_attack: bool = False  # success only once target leaves the top-5
+    # (reference SIadv_attack.py:156-158, 335-341)
 
 
 def cw_margin_loss(
@@ -71,6 +73,32 @@ def cw_margin_loss(
     other = jnp.max(logits - one_hot * 10000.0, axis=-1)
     margin = other - real if tar else real - other
     return jnp.maximum(margin, kappa)
+
+
+def cw_margin_loss_top5(
+    logits: jax.Array, target: jax.Array, kappa: float = 0.0
+) -> jax.Array:
+    """Top-5 variant: ``other`` is the 5th-largest non-target logit, so
+    the margin only turns positive once the target drops out of the
+    top-5 (reference SIadv_attack.py:156-158)."""
+    k = logits.shape[-1]
+    one_hot = jax.nn.one_hot(target, k, dtype=logits.dtype)
+    real = jnp.sum(one_hot * logits, axis=-1)
+    masked = logits - one_hot * 10000.0
+    top5, _ = jax.lax.top_k(masked, 5)
+    other = top5[..., 4]
+    return jnp.maximum(other - real, kappa)
+
+
+def success_rule(
+    logits: jax.Array, target: jax.Array, top5: bool
+) -> jax.Array:
+    """[B] bool attack success: prediction moved off target (top-1) or
+    target left the top-5 (reference :335-341)."""
+    if not top5:
+        return jnp.argmax(logits, axis=-1) != target
+    _, idx = jax.lax.top_k(logits, 5)
+    return ~jnp.any(idx == target[:, None], axis=-1)
 
 
 def build_si_ifgm(
@@ -111,13 +139,15 @@ def build_si_ifgm(
             return pts, None
 
         adv, _ = jax.lax.scan(step, ori, None, length=cfg.max_steps)
-        pred = jnp.argmax(target_model_fn(adv), axis=-1)
-        return adv, pred, pred != target
+        final_logits = target_model_fn(adv)
+        pred = jnp.argmax(final_logits, axis=-1)
+        return adv, pred, success_rule(final_logits, target, cfg.top5_attack)
 
     return run
 
 
-def _query_loop(model_fn, probe_fn, points0, target, max_iters):
+def _query_loop(model_fn, probe_fn, points0, target, max_iters,
+                top5: bool = False):
     """Shared accept/reject query machinery.
 
     probe_fn(i, state) must return (pert_plus, pert_minus), each a
@@ -130,6 +160,8 @@ def _query_loop(model_fn, probe_fn, points0, target, max_iters):
     """
 
     def margin(pts):
+        if top5:
+            return cw_margin_loss_top5(model_fn(pts), target, kappa=-999.0)
         return cw_margin_loss(model_fn(pts), target, kappa=-999.0)
 
     def cond(state):
@@ -185,10 +217,12 @@ def build_simba(model_fn, cfg: SIAdvConfig):
             return pert, -pert
 
         adv, best, queries = _query_loop(
-            model_fn, probe_fn, points, target, min(cfg.max_queries, 3 * n)
+            model_fn, probe_fn, points, target,
+            min(cfg.max_queries, 3 * n), top5=cfg.top5_attack,
         )
-        pred = jnp.argmax(model_fn(adv), axis=-1)
-        return adv, pred, pred != target, queries
+        lg = model_fn(adv)
+        pred = jnp.argmax(lg, axis=-1)
+        return adv, pred, success_rule(lg, target, cfg.top5_attack), queries
 
     return run
 
@@ -223,10 +257,12 @@ def build_simbapp(wb_model_fn, model_fn, cfg: SIAdvConfig):
             return pert, -pert
 
         adv, best, queries = _query_loop(
-            model_fn, probe_fn, points, target, min(cfg.max_queries, 3 * n)
+            model_fn, probe_fn, points, target,
+            min(cfg.max_queries, 3 * n), top5=cfg.top5_attack,
         )
-        pred = jnp.argmax(model_fn(adv), axis=-1)
-        return adv, pred, pred != target, queries
+        lg = model_fn(adv)
+        pred = jnp.argmax(lg, axis=-1)
+        return adv, pred, success_rule(lg, target, cfg.top5_attack), queries
 
     return run
 
@@ -267,10 +303,12 @@ def build_si_query_attack(wb_model_fn, model_fn, cfg: SIAdvConfig):
             return pert, -pert
 
         adv_frame, best, queries = _query_loop(
-            model_in_frame, probe_fn, new_pts0, target, n
+            model_in_frame, probe_fn, new_pts0, target, n,
+            top5=cfg.top5_attack,
         )
         adv = from_tangent_frame(adv_frame, u, tr)
-        pred = jnp.argmax(model_fn(adv), axis=-1)
-        return adv, pred, pred != target, queries
+        lg = model_fn(adv)
+        pred = jnp.argmax(lg, axis=-1)
+        return adv, pred, success_rule(lg, target, cfg.top5_attack), queries
 
     return run
