@@ -137,3 +137,23 @@ def test_attack_iso_cli_with_csv_log(trained_run):
         "index", "true_label", "prob_before", "prob_after"
     ]
     assert len(rows) == 3  # header + 2 samples
+
+
+def test_train_and_attack_dgcnn(tmp_path):
+    """Second model family end-to-end through the CLI."""
+    out = str(tmp_path)
+    main([
+        "train", "--dataset", "synthetic", "--model", "DGCNN",
+        "--num_points", "64", "--num_classes", "3", "--epochs", "12",
+        "--batch_size", "12", "--k", "8", "--emb_dims", "64",
+        "--output_dir", out,
+    ])
+    ckpt = os.path.join(out, "DGCNN_model_on_synthetic")
+    asr = main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "DGCNN",
+        "--num_points", "64", "--num_classes", "3", "--k", "8",
+        "--emb_dims", "64", "--checkpoint", ckpt, "--output_dir", out,
+        "--binary_step", "1", "--num_iter", "50", "--kappa", "0",
+        "--budget", "0.45", "--num_samples", "4",
+    ])
+    assert asr >= 0.5

@@ -167,3 +167,26 @@ class TestBatcher:
         assert batches[0][0].shape == (4, 16, 3)
         total = sum(len(b[1]) for b in batches)
         assert total == 10
+
+
+class TestLoader:
+    def test_prefetch_loader(self):
+        from pointcloudattack_tpu.data.loader import data_loader
+        from pointcloudattack_tpu import data as D
+
+        clouds, labels = D.make_synthetic_clouds(2, 6, 16)
+
+        class ListDS:
+            def __len__(self):
+                return len(labels)
+
+            def __getitem__(self, i):
+                return clouds[i], labels[i]
+
+        batches = list(
+            data_loader(ListDS(), 4, shuffle=True, prefetch=2)
+        )
+        total = sum(int(b[1].shape[0]) for b in batches)
+        assert total == 12
+        # device arrays, correct shapes
+        assert batches[0][0].shape == (4, 16, 3)
