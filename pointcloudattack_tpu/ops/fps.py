@@ -38,6 +38,15 @@ def farthest_point_sample(
     else:
         start = jax.random.randint(key, (b,), 0, n, dtype=jnp.int32)
 
+    from pointcloudattack_tpu.ops.pallas.fps_kernel import (
+        fps_pallas,
+        use_fps_kernel,
+    )
+
+    if use_fps_kernel(b, n):
+        # VMEM-resident batch-parallel kernel (ops/pallas/fps_kernel.py)
+        return fps_pallas(xyz, npoint, start)
+
     init_dist = jnp.full((b, n), jnp.inf, dtype=jnp.float32)
 
     def step(carry, _):

@@ -58,3 +58,25 @@ def test_custom_vjp_matches_autodiff():
     ga_d, go_d = jax.grad(loss_dense, argnums=(0, 1))(adv, ori)
     np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_d), atol=1e-4)
     np.testing.assert_allclose(np.asarray(go_f), np.asarray(go_d), atol=1e-4)
+
+
+def test_fps_kernel_interpret_matches_scan():
+    """FPS kernel (interpreter mode) reproduces the scan recurrence."""
+    from pointcloudattack_tpu.ops.pallas.fps_kernel import fps_pallas
+    from pointcloudattack_tpu.ops.fps import farthest_point_sample
+
+    x = jnp.asarray(RNG.randn(2, 100, 3).astype(np.float32))
+    start = jnp.zeros((2,), dtype=jnp.int32)
+    got = np.asarray(fps_pallas(x, 16, start, interpret=True))
+    want = np.asarray(farthest_point_sample(x, 16, key=None))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_kernel_random_start_interpret():
+    from pointcloudattack_tpu.ops.pallas.fps_kernel import fps_pallas
+
+    x = jnp.asarray(RNG.randn(1, 64, 3).astype(np.float32))
+    start = jnp.asarray([17], dtype=jnp.int32)
+    got = np.asarray(fps_pallas(x, 8, start, interpret=True))[0]
+    assert got[0] == 17
+    assert len(set(got.tolist())) == 8
