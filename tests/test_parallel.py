@@ -76,3 +76,14 @@ def test_sharded_accuracy(trained_pointnet):
     model_fn = make_model_fn(model, variables)
     acc = sharded_accuracy(model_fn, clouds, labels)
     assert acc == 1.0
+
+
+def test_multihost_helpers_single_host():
+    """Single-host degenerate path of the multi-host utilities."""
+    from pointcloudattack_tpu.parallel import multihost as mh
+
+    mesh = mh.global_mesh()
+    assert mesh.devices.size == 8
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    gx = mh.host_local_batch_to_global(mesh, x)
+    np.testing.assert_array_equal(np.asarray(gx), x)

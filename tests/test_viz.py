@@ -62,3 +62,22 @@ def test_convergence_and_loss_plots(tmp_path):
     assert idx.shape == (4,)
     curve = plots.plot_loss_curves(lh, str(tmp_path / "loss.png"))
     assert len(curve) == 50
+
+
+def test_inspect_helpers(trained_pointnet, tmp_path):
+    from pointcloudattack_tpu.viz import inspect
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    img, pred = inspect.render_classification(
+        model_fn, clouds[0], str(tmp_path / "cls.ppm"), size=64
+    )
+    assert pred == labels[0]
+    seg = (clouds[0][:, 2] > 0).astype(int)
+    img = inspect.render_segmentation(clouds[0], seg, size=64)
+    assert img.shape == (64, 64, 3)
+    img = inspect.render_perturbation(
+        clouds[0], clouds[0] + 0.05, size=64
+    )
+    assert img.shape == (64, 64, 3)
