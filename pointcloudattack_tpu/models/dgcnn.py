@@ -17,14 +17,30 @@ from pointcloudattack_tpu.ops.gather import index_points
 from pointcloudattack_tpu.ops.knn import knn
 
 
-def graph_feature(x: jax.Array, k: int) -> jax.Array:
+def graph_feature(
+    x: jax.Array, k: int, fast_gather: bool = False
+) -> jax.Array:
     """Edge features of the kNN graph: [B, N, k, 2C].
 
     Reference model/dgcnn.py:203-227 (concat of [neighbour - center,
     center]).
+
+    fast_gather=True routes the neighbour gather through a bf16 one-hot
+    MXU matmul — ~1.4x faster than the XLA gather on v5e at the cost of
+    bf16-rounding the gathered features (opt in for throughput runs).
     """
     idx = knn(x, k)  # [B, N, k], self included as in the reference
-    nbr = index_points(x, idx)  # [B, N, k, C]
+    if fast_gather:
+        n = x.shape[1]
+        onehot = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)
+        nbr = jnp.einsum(
+            "bnkm,bmc->bnkc",
+            onehot,
+            x.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        nbr = index_points(x, idx)  # [B, N, k, C]
     ctr = jnp.broadcast_to(x[:, :, None, :], nbr.shape)
     return jnp.concatenate([nbr - ctr, ctr], axis=-1)
 
@@ -34,10 +50,11 @@ class EdgeConv(nn.Module):
 
     features: int
     k: int
+    fast_gather: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        e = graph_feature(x, self.k)  # [B, N, k, 2C]
+        e = graph_feature(x, self.k, self.fast_gather)  # [B, N, k, 2C]
         h = nn.Dense(self.features, use_bias=False)(e)
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5
@@ -57,14 +74,16 @@ class DGCNN(nn.Module):
     k: int = 20
     emb_dims: int = 1024
     dropout: float = 0.5
+    fast_gather: bool = False  # bf16 one-hot MXU gathers (see graph_feature)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         # x: [B, N, 3]
-        x1 = EdgeConv(64, self.k, name="conv1")(x, train=train)
-        x2 = EdgeConv(64, self.k, name="conv2")(x1, train=train)
-        x3 = EdgeConv(128, self.k, name="conv3")(x2, train=train)
-        x4 = EdgeConv(256, self.k, name="conv4")(x3, train=train)
+        fg = self.fast_gather
+        x1 = EdgeConv(64, self.k, fg, name="conv1")(x, train=train)
+        x2 = EdgeConv(64, self.k, fg, name="conv2")(x1, train=train)
+        x3 = EdgeConv(128, self.k, fg, name="conv3")(x2, train=train)
+        x4 = EdgeConv(256, self.k, fg, name="conv4")(x3, train=train)
         cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 512]
 
         h = nn.Dense(self.emb_dims, use_bias=False, name="conv5")(cat)
