@@ -44,8 +44,11 @@ def farthest_point_sample(
     )
 
     if use_fps_kernel(b, n):
-        # VMEM-resident batch-parallel kernel (ops/pallas/fps_kernel.py)
-        return fps_pallas(xyz, npoint, start)
+        # VMEM-resident batch-parallel kernel (ops/pallas/fps_kernel.py).
+        # Indices carry no gradient, but without the stop_gradient JAX
+        # tries (and fails) to linearize the pallas_call when attacks
+        # differentiate through a PointNet++ forward.
+        return fps_pallas(jax.lax.stop_gradient(xyz), npoint, start)
 
     init_dist = jnp.full((b, n), jnp.inf, dtype=jnp.float32)
 

@@ -80,3 +80,29 @@ def test_fps_kernel_random_start_interpret():
     got = np.asarray(fps_pallas(x, 8, start, interpret=True))[0]
     assert got[0] == 17
     assert len(set(got.tolist())) == 8
+
+
+def test_fps_kernel_under_grad(monkeypatch):
+    """Differentiating through an FPS-based gather must work when the
+    kernel path is active (regression: pallas_call linearization)."""
+    import pointcloudattack_tpu.ops.pallas.fps_kernel as FK
+    import pointcloudattack_tpu.ops.fps as F
+
+    monkeypatch.setattr(FK, "use_fps_kernel", lambda b, n: True)
+    real = FK.fps_pallas
+    monkeypatch.setattr(
+        FK, "fps_pallas",
+        lambda xyz, npoint, start: real(xyz, npoint, start, interpret=True),
+    )
+
+    from pointcloudattack_tpu.ops.gather import index_points
+
+    x = jnp.asarray(RNG.randn(2, 64, 3).astype(np.float32))
+
+    def loss(a):
+        idx = F.farthest_point_sample(a, 8, key=None)
+        return jnp.sum(index_points(a, idx) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
