@@ -146,6 +146,15 @@ class ModelNetDataset:
         return pts.astype(np.float32), cls
 
 
+# Parts per ShapeNet category (reference misc/num_seg_classes.txt)
+SHAPENET_SEG_CLASSES = {
+    "Airplane": 4, "Bag": 2, "Cap": 2, "Car": 4, "Chair": 4,
+    "Earphone": 3, "Guitar": 3, "Knife": 2, "Lamp": 4, "Laptop": 2,
+    "Motorbike": 6, "Mug": 2, "Pistol": 3, "Rocket": 3,
+    "Skateboard": 3, "Table": 3,
+}
+
+
 class ShapeNetDataset:
     """ShapeNet part dataset (classification or part-seg labels)."""
 
@@ -195,6 +204,12 @@ class ShapeNetDataset:
                 )
         self.classes = {c: i for i, c in enumerate(sorted(cat))}
         self.num_classes = len(self.classes)
+        self.seg_classes = {
+            c: SHAPENET_SEG_CLASSES.get(c, 0) for c in cat
+        }
+        self.num_seg_classes = (
+            self.seg_classes[next(iter(cat))] if cat else 0
+        )
 
     def __len__(self):
         return len(self.datapath)
