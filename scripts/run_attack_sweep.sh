@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# End-to-end demo: train a victim on the synthetic dataset, then run
+# every attack family against it. Usage: scripts/run_attack_sweep.sh [outdir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OUT="${1:-runs/sweep}"
+MODEL="${MODEL:-PointNet}"
+NP="${NUM_POINTS:-256}"
+NC="${NUM_CLASSES:-5}"
+
+python -m pointcloudattack_tpu.cli train --dataset synthetic \
+  --model "$MODEL" --num_points "$NP" --num_classes "$NC" \
+  --epochs 30 --batch_size 16 --output_dir "$OUT"
+
+CKPT="$OUT/${MODEL}_model_on_synthetic"
+python -m pointcloudattack_tpu.cli test --dataset synthetic \
+  --model "$MODEL" --num_points "$NP" --num_classes "$NC" \
+  --checkpoint "$CKPT"
+
+for FAMILY in cw knn geoa3 aof cta siadv simba add-points add-clusters iso; do
+  echo "=== $FAMILY ==="
+  python -m pointcloudattack_tpu.cli attack "$FAMILY" \
+    --dataset synthetic --model "$MODEL" --num_points "$NP" \
+    --num_classes "$NC" --checkpoint "$CKPT" --output_dir "$OUT" \
+    --binary_step 2 --num_iter 100 --kappa 0 --budget 0.45 \
+    --num_samples 8 || echo "$FAMILY failed"
+done
+echo "summaries in $OUT/attack_*_summary.json"
