@@ -123,16 +123,25 @@ def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
             else:
                 act_other = jnp.max(lg - one_hot_ori * 1e9, axis=-1)
             obj = cfg.alpha * (act_ori - act_other)
+            # NOTE: CTA's penalties are EUCLIDEAN (cdist), not squared —
+            # reference attack/CTA/utils/dis_utils_torch.py:15-23
             if cfg.penalize_dis == "chamfer":
-                from pointcloudattack_tpu.losses.distance import chamfer_dist
+                from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
 
-                obj = obj + cfg.beta * chamfer_dist(x, points, "both")
-            elif cfg.penalize_dis == "hausdorff":
-                from pointcloudattack_tpu.losses.distance import (
-                    hausdorff_dist,
+                d = jnp.sqrt(
+                    jnp.maximum(pairwise_sqdist(x, points), 1e-12)
                 )
+                obj = obj + cfg.beta * (
+                    jnp.mean(jnp.min(d, axis=2), axis=1)
+                    + jnp.mean(jnp.min(d, axis=1), axis=1)
+                )
+            elif cfg.penalize_dis == "hausdorff":
+                from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
 
-                obj = obj + cfg.beta * hausdorff_dist(x, points)
+                d = jnp.sqrt(
+                    jnp.maximum(pairwise_sqdist(x, points), 1e-12)
+                )
+                obj = obj + cfg.beta * jnp.max(jnp.min(d, axis=2), axis=1)
             return obj
 
         grad_fn = jax.grad(lambda x: jnp.sum(objective(x)))

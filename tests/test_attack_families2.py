@@ -177,3 +177,18 @@ class TestGen3DAdv:
         )
         assert full.shape == (2, 64 + 16, 3)
         assert np.all(np.isfinite(np.asarray(full)))
+
+
+def test_cta_with_distance_penalty(trained_pointnet):
+    """CTA_sumloss variant (hausdorff penalty) runs."""
+    model_fn, clouds, labels = _fn(trained_pointnet)
+    cfg = cta.CTAConfig(
+        ig_steps=4, inner_max_steps=60, total_max_steps=150, window=10,
+        penalize_dis="hausdorff", beta=0.5,
+    )
+    attack = cta.build_cta_attack(model_fn, cfg)
+    adv, pred, success, steps = attack(
+        jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]),
+        jax.random.PRNGKey(0),
+    )
+    assert np.all(np.isfinite(np.asarray(adv)))
