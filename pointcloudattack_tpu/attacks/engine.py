@@ -107,7 +107,7 @@ def cw_attack(
     opt = optax.adam(cfg.attack_lr)
 
     def iter_step(carry, _):
-        adv, opt_state, best = carry
+        adv, opt_state, best, _last_eval = carry
         (bestdist, bestscore, o_bestdist, o_bestscore, o_bestattack, w) = best
 
         def total_loss(a):
@@ -143,8 +143,10 @@ def cw_attack(
             adv_new = jax.lax.stop_gradient(clip_fn(adv_new, ori))
 
         best = (bestdist, bestscore, o_bestdist, o_bestscore, o_bestattack, w)
-        # ``adv`` (pre-step) is the reference's input_val for this iteration.
-        return (adv_new, opt_state, best), None
+        # ``adv`` (pre-step) is the reference's input_val for this
+        # iteration — carried so fail back-fill uses the last EVALUATED
+        # iterate, exactly like CW_attack.py:133/209.
+        return (adv_new, opt_state, best, adv), None
 
     def binary_step(carry, k):
         lower, upper, weight, o_bestdist, o_bestscore, o_bestattack, last = (
@@ -165,8 +167,9 @@ def cw_attack(
             o_bestattack,
             weight,
         )
-        (adv_final, _, best), _ = jax.lax.scan(
-            iter_step, (adv0, opt_state, best0), None, length=cfg.num_iter
+        (_, _, best, last_eval), _ = jax.lax.scan(
+            iter_step, (adv0, opt_state, best0, adv0), None,
+            length=cfg.num_iter,
         )
         bestdist, bestscore, o_bestdist, o_bestscore, o_bestattack, _ = best
 
@@ -186,7 +189,7 @@ def cw_attack(
             o_bestdist,
             o_bestscore,
             o_bestattack,
-            adv_final,
+            last_eval,
         ), None
 
     init = (
