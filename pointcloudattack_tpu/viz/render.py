@@ -24,7 +24,7 @@ def _load_library():
     if _LIB is not None or _LIB_FAILED:
         return _LIB
     here = os.path.dirname(os.path.abspath(__file__))
-    so_path = os.path.join(here, "librender_balls.so")
+    so_path = os.path.join(here, "render_balls.bin")
     src = os.path.join(here, "render_balls.cpp")
     try:
         if not os.path.exists(so_path) or os.path.getmtime(

@@ -4,5 +4,5 @@
 # reference's scripts/build.sh workflow.)
 set -euo pipefail
 cd "$(dirname "$0")/../pointcloudattack_tpu/viz"
-g++ -O3 -shared -fPIC -o librender_balls.so render_balls.cpp
-echo "built $(pwd)/librender_balls.so"
+g++ -O3 -shared -fPIC -o render_balls.bin render_balls.cpp
+echo "built $(pwd)/render_balls.bin"
