@@ -7,7 +7,7 @@
 // with per-pixel depth testing; discs are shaded with a simple
 // sqrt-falloff to fake sphere lighting.
 //
-// Build:  g++ -O3 -shared -fPIC -o librender_balls.so render_balls.cpp
+// Build:  g++ -O3 -shared -fPIC -o render_balls.bin render_balls.cpp
 //
 // C ABI (see viz/render.py):
 //   render_balls(image, h, w, zbuf, xyz, color, n, radius)
