@@ -91,7 +91,7 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
             lfc, hfc = spectral_split(adv, evecs, cfg.low_pass)
 
             def step(carry, _):
-                lfc, opt_state, best = carry
+                lfc, hfc, opt_state, best, _last = carry
                 o_bestdist, o_bestattack, o_bestscore = best
 
                 def loss_fn(l):
@@ -106,21 +106,30 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
                 updates, opt_state = opt.update(grads, opt_state, lfc)
                 lfc = optax.apply_updates(lfc, updates)
 
-                # clip the recombined cloud, re-project onto the basis
+                # clip the recombined cloud, re-project onto the basis —
+                # BOTH components are refreshed every iteration
+                # (reference TAOF_attack.py:163-172 updates hfc.data too)
                 adv = clip_points_linf(lfc + hfc, ori, cfg.budget)
                 lfc_new, hfc_new = spectral_split(adv, evecs, cfg.low_pass)
                 lfc = jax.lax.stop_gradient(lfc_new)
+                hfc = jax.lax.stop_gradient(hfc_new)
 
                 # evaluate (reference evaluates after the clip,
                 # TAOF_attack.py:175-211)
-                adv_eval = lfc + hfc_new
+                adv_eval = lfc + hfc
                 pred = jnp.argmax(model_fn(adv_eval), axis=-1)
                 lfc_pred = jnp.argmax(model_fn(lfc), axis=-1)
-                dist = l2_dist(adv_eval, ori)
                 if cfg.targeted:
+                    # TAOF rule (TAOF_attack.py:205-211) + L2 tracking
                     succ = (pred == target) & (lfc_pred != yt)
+                    dist = l2_dist(adv_eval, ori)
                 else:
-                    succ = pred != target
+                    # untargeted AOF also requires the LFC alone to fool
+                    # the model and tracks by Linf (Eval_AOF.py:171,182)
+                    succ = (pred != target) & (lfc_pred != target)
+                    dist = jnp.max(
+                        jnp.abs(adv_eval - ori), axis=(1, 2)
+                    )
                 improved = succ & (dist < o_bestdist)
                 o_bestdist = jnp.where(improved, dist, o_bestdist)
                 o_bestscore = jnp.where(improved, pred, o_bestscore)
@@ -129,15 +138,15 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
                 )
 
                 best = (o_bestdist, o_bestattack, o_bestscore)
-                return (lfc, opt_state, best), adv_eval
+                return (lfc, hfc, opt_state, best, adv_eval), None
 
             init_best = (o_bestdist, o_bestattack, o_bestscore)
-            (lfc, _, best), advs = jax.lax.scan(
-                step, (lfc, opt.init(lfc), init_best), None,
+            (lfc, hfc, _, best, last_eval), _ = jax.lax.scan(
+                step, (lfc, hfc, opt.init(lfc), init_best, ori), None,
                 length=cfg.num_iter,
             )
             o_bestdist, o_bestattack, o_bestscore = best
-            return (o_bestdist, o_bestattack, o_bestscore, advs[-1]), None
+            return (o_bestdist, o_bestattack, o_bestscore, last_eval), None
 
         init = (
             jnp.full((b,), 1e10, dtype=jnp.float32),

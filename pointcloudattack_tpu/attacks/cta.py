@@ -124,7 +124,9 @@ def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
                 act_other = jnp.max(lg - one_hot_ori * 1e9, axis=-1)
             obj = cfg.alpha * (act_ori - act_other)
             # NOTE: CTA's penalties are EUCLIDEAN (cdist), not squared —
-            # reference attack/CTA/utils/dis_utils_torch.py:15-23
+            # reference attack/CTA/utils/dis_utils_torch.py:15-23; its
+            # chamfer divides the two min-distance SUMS by the channel
+            # count 3 (a.shape[1] of the [1,3,N] input), not by N
             if cfg.penalize_dis == "chamfer":
                 from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
 
@@ -132,9 +134,9 @@ def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
                     jnp.maximum(pairwise_sqdist(x, points), 1e-12)
                 )
                 obj = obj + cfg.beta * (
-                    jnp.mean(jnp.min(d, axis=2), axis=1)
-                    + jnp.mean(jnp.min(d, axis=1), axis=1)
-                )
+                    jnp.sum(jnp.min(d, axis=2), axis=1)
+                    + jnp.sum(jnp.min(d, axis=1), axis=1)
+                ) / 3.0
             elif cfg.penalize_dis == "hausdorff":
                 from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
 
@@ -152,20 +154,23 @@ def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
                 return pred == tar_cls, pred
             return pred != ori_cls, pred
 
-        # while-loop state
+        # while-loop state; cur_step / window / last_mean are all
+        # per-example so one example's give-up never resets another's
+        # inner-round schedule (the reference runs batch=1)
         def cond(state):
             (x, v, s, num_p, cur_step, total_step, window, last_mean,
              done) = state
+            # an example is live while not done AND it still has ranked
+            # points to unmask (reference range(0, num_positive))
+            live = ~done & (num_p < num_positive)
             return jnp.logical_and(
-                total_step < cfg.total_max_steps,
-                jnp.logical_and(
-                    jnp.any(~done), jnp.any(num_p <= num_positive)
-                ),
+                total_step < cfg.total_max_steps, jnp.any(live)
             )
 
         def body(state):
             (x, v, s, num_p, cur_step, total_step, window, last_mean,
              done) = state
+            frozen = done | (num_p >= num_positive)  # [B]
 
             grad = grad_fn(x)
             # unmask at most the first min(num_p, 3) ranked points
@@ -177,31 +182,34 @@ def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
             v = cfg.beta1 * v + (1 - cfg.beta1) * grad
             s = cfg.beta2 * s + (1 - cfg.beta2) * grad**2
             upd = -cfg.lr * v / jnp.sqrt(s + cfg.eps)
-            x_new = jnp.where(done[:, None, None], x, x + upd)
+            x_new = jnp.where(frozen[:, None, None], x, x + upd)
 
             succ, _ = success_now(x_new)
             done_new = done | succ
 
-            # rolling activation window bookkeeping
-            act = objective(x_new)  # proxy for the ori activation trend
+            # rolling activation window bookkeeping (per example)
+            act = objective(x_new)
             window = jnp.roll(window, -1, axis=0).at[-1].set(act)
-            cur_step = cur_step + 1
+            cur_step = jnp.where(frozen, cur_step, cur_step + 1)  # [B]
             at_check = (cur_step >= cfg.window) & (
                 cur_step % cfg.window == 0
             )
             new_mean = jnp.mean(window, axis=0)
             stalled = at_check & (new_mean >= last_mean)
-            give_up = stalled | (cur_step >= cfg.inner_max_steps)
-
-            # on give-up: unmask one more point, reset the inner loop
-            num_p = jnp.where(give_up & ~done_new, num_p + 1, num_p)
-            reset = jnp.any(give_up & ~done_new)
-            cur_step = jnp.where(reset, 0, cur_step)
-            x_out = jnp.where(
-                (give_up & ~done_new)[:, None, None], points, x_new
+            give_up = (
+                (stalled | (cur_step >= cfg.inner_max_steps)) & ~frozen
             )
-            v = jnp.where((give_up & ~done_new)[:, None, None], 0.0, v)
-            s = jnp.where((give_up & ~done_new)[:, None, None], 0.0, s)
+
+            # on give-up: unmask one more point, reset that example's
+            # inner loop (Adam moments persist across unmask rounds like
+            # the reference's v_adam/s_adam, CTA.py:96-98)
+            bump = give_up & ~done_new
+            num_p = jnp.where(bump, num_p + 1, num_p)
+            cur_step = jnp.where(bump, 0, cur_step)
+            x_out = jnp.where(bump[:, None, None], points, x_new)
+            window = jnp.where(
+                bump[None, :], jnp.inf, window
+            )
             last_mean = jnp.where(
                 at_check & ~stalled, new_mean, last_mean
             )
@@ -217,7 +225,7 @@ def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
             jnp.zeros_like(points),
             jnp.zeros_like(points),
             jnp.zeros((b,), dtype=jnp.int32),
-            jnp.int32(0),
+            jnp.zeros((b,), dtype=jnp.int32),
             jnp.int32(0),
             jnp.full((cfg.window, b), jnp.inf, dtype=points.dtype),
             jnp.full((b,), jnp.inf, dtype=points.dtype),

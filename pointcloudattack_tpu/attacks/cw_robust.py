@@ -136,7 +136,7 @@ def build_robust_cw_attack(model_fn, dist_fn, cfg: RobustCWConfig):
             return lg
 
         def iter_step(carry, k):
-            adv, opt_state, best = carry
+            adv, opt_state, best, _last_eval = carry
             bestdist, bestscore, o_bestdist, o_bestscore, o_bestattack, w = (
                 best
             )
@@ -169,12 +169,14 @@ def build_robust_cw_attack(model_fn, dist_fn, cfg: RobustCWConfig):
                 return jnp.sum(al + dist_fn(a, ori) * w)
 
             grads = jax.grad(total_loss)(adv)
+            pre_step_adv = adv
             updates, opt_state = opt.update(grads, opt_state, adv)
             adv = optax.apply_updates(adv, updates)
 
             best = (bestdist, bestscore, o_bestdist, o_bestscore,
                     o_bestattack, w)
-            return (adv, opt_state, best), None
+            # pre-step iterate carried for reference-exact fail back-fill
+            return (adv, opt_state, best, pre_step_adv), None
 
         def binary_round(carry, k):
             lower, upper, weight, o_bestdist, o_bestscore, o_bestattack, \
@@ -189,9 +191,9 @@ def build_robust_cw_attack(model_fn, dist_fn, cfg: RobustCWConfig):
                 jnp.full((b,), -1, dtype=jnp.int32),
                 o_bestdist, o_bestscore, o_bestattack, weight,
             )
-            (adv, _, best), _ = jax.lax.scan(
+            (adv, _, best, last_eval), _ = jax.lax.scan(
                 iter_step,
-                (adv0, opt.init(adv0), best0),
+                (adv0, opt.init(adv0), best0, adv0),
                 jax.random.split(k_iter, cfg.num_iter),
             )
             bestdist, bestscore, o_bestdist, o_bestscore, o_bestattack, _ = (
@@ -207,7 +209,7 @@ def build_robust_cw_attack(model_fn, dist_fn, cfg: RobustCWConfig):
             weight = (lower + upper) / 2.0
             return (
                 lower, upper, weight, o_bestdist, o_bestscore,
-                o_bestattack, adv,
+                o_bestattack, last_eval,
             ), None
 
         init = (

@@ -183,7 +183,7 @@ def _added_points_attack(
         return pred == target if targeted else pred != target
 
     def iter_step(carry, _):
-        added, opt_state, best = carry
+        added, opt_state, best, _last_eval = carry
         bestdist, bestscore, o_bestdist, o_bestscore, o_bestadded, w = best
 
         full = jnp.concatenate([ori, added], axis=1)
@@ -204,11 +204,13 @@ def _added_points_attack(
             return jnp.sum(adv_fn(lg, target) + dist_fn(a, ori) * w)
 
         grads = jax.grad(total_loss)(added)
+        pre_step = added
         updates, opt_state = opt.update(grads, opt_state, added)
         added = optax.apply_updates(added, updates)
 
         best = (bestdist, bestscore, o_bestdist, o_bestscore, o_bestadded, w)
-        return (added, opt_state, best), None
+        # pre-step iterate carried for reference-exact fail back-fill
+        return (added, opt_state, best, pre_step), None
 
     def binary_round(carry, k):
         lower, upper, weight, o_bestdist, o_bestscore, o_bestadded, last = (
@@ -225,8 +227,8 @@ def _added_points_attack(
             o_bestadded,
             weight,
         )
-        (added, _, best), _ = jax.lax.scan(
-            iter_step, (added0, opt.init(added0), best0), None,
+        (added, _, best, last_eval), _ = jax.lax.scan(
+            iter_step, (added0, opt.init(added0), best0, added0), None,
             length=num_iter,
         )
         bestdist, bestscore, o_bestdist, o_bestscore, o_bestadded, _ = best
@@ -236,7 +238,8 @@ def _added_points_attack(
         upper = jnp.where(ok, upper, jnp.minimum(upper, weight))
         weight = (lower + upper) / 2.0
         return (
-            lower, upper, weight, o_bestdist, o_bestscore, o_bestadded, added,
+            lower, upper, weight, o_bestdist, o_bestscore, o_bestadded,
+            last_eval,
         ), None
 
     init = (

@@ -156,7 +156,9 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
             def iter_step(carry, inputs):
                 offset, opt_state, prev_constrain, best, jitter = carry
                 it, k_it = inputs
-                best_loss, best_attack, iter_best_score = best
+                best_loss, best_attack, iter_best_loss, iter_best_score = (
+                    best
+                )
 
                 adv = ori + offset
 
@@ -169,7 +171,18 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                 best_attack = jnp.where(
                     improved[:, None, None], adv, best_attack
                 )
-                iter_best_score = jnp.where(succ, pred, iter_best_score)
+                # the reference records the round score only when the
+                # lagged metric improves on the PER-ROUND best
+                # (GeoA3_attack.py:330-332), so an iteration-0 success
+                # (metric still 1e10) stays -1 and the bisection treats
+                # the round as a failure
+                round_improved = succ & (prev_constrain < iter_best_loss)
+                iter_best_loss = jnp.where(
+                    round_improved, prev_constrain, iter_best_loss
+                )
+                iter_best_score = jnp.where(
+                    round_improved, pred, iter_best_score
+                )
 
                 if cfg.use_jitter:
                     jitter = jax.lax.cond(
@@ -204,7 +217,9 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                         _lp_clip(offset, cfg.cc_linf)
                     )
 
-                best = (best_loss, best_attack, iter_best_score)
+                best = (
+                    best_loss, best_attack, iter_best_loss, iter_best_score
+                )
                 return (offset, opt_state, constrain, best, jitter), None
 
             return iter_step
@@ -215,8 +230,9 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
             offset0 = (
                 jax.random.normal(k_off, ori.shape, dtype=ori.dtype) * 1e-3
             )
+            iter_best_loss = jnp.full((b,), 1e10, dtype=jnp.float32)
             iter_best_score = jnp.full((b,), -1, dtype=jnp.int32)
-            best0 = (best_loss, best_attack, iter_best_score)
+            best0 = (best_loss, best_attack, iter_best_loss, iter_best_score)
             jit_keys = jax.random.split(k_jit, cfg.iter_max_steps)
             its = jnp.arange(cfg.iter_max_steps)
 
@@ -231,7 +247,7 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                 ),
                 (its, jit_keys),
             )
-            best_loss, best_attack, iter_best_score = best
+            best_loss, best_attack, _, iter_best_score = best
 
             # final-output success drives the bisection
             # (GeoA3_attack.py:394-404)

@@ -45,7 +45,7 @@ class SIAdvConfig:
     """Reference CLI defaults (attack/SIadv/Eval_SIadv.py flags)."""
 
     eps: float = 0.16
-    step_size: float = 0.32  # reference default --step_size 0.32 (queries)
+    step_size: float = 0.07  # reference default (Eval_SIadv.py:192)
     max_steps: int = 50  # iFGM iterations
     normal_k: int = 20
     max_queries: int = 3 * 1024  # SimBA basis size bound

@@ -576,7 +576,7 @@ def build_parser():
     p.add_argument("--binary_step", type=int, default=10)
     p.add_argument("--num_iter", type=int, default=500)
     p.add_argument("--budget", type=float, default=0.18)
-    p.add_argument("--step_size", type=float, default=0.32)
+    p.add_argument("--step_size", type=float, default=0.07)
     p.add_argument("--low_pass", type=int, default=100)
     p.add_argument("--num_add", type=int, default=512)
     p.add_argument("--num_init", type=int, default=10)
