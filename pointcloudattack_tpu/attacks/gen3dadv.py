@@ -53,7 +53,13 @@ def get_critical_points(
 
     grad = jax.grad(loss)(pc)  # [B, N, 3]
     score = jnp.sum(grad**2, axis=-1)  # [B, N]
-    _, idx = jax.lax.top_k(score, num)
+    n = pc.shape[1]
+    k = min(num, n)
+    _, idx = jax.lax.top_k(score, k)
+    if k < num:
+        # fewer points than requested seeds: cycle the ranked indices
+        reps = jnp.arange(num) % k
+        idx = jnp.take_along_axis(idx, reps[None, :].repeat(len(idx), 0), 1)
     return jnp.take_along_axis(pc, idx[..., None], axis=1)  # [B, num, 3]
 
 

@@ -192,3 +192,12 @@ def test_cta_with_distance_penalty(trained_pointnet):
         jax.random.PRNGKey(0),
     )
     assert np.all(np.isfinite(np.asarray(adv)))
+
+
+def test_critical_points_more_than_n(trained_pointnet):
+    """num_add > N cycles the ranked indices instead of crashing."""
+    model_fn, clouds, labels = _fn(trained_pointnet)
+    cri = gen3dadv.get_critical_points(
+        model_fn, jnp.asarray(clouds[:2]), jnp.asarray(labels[:2]), 100
+    )
+    assert cri.shape == (2, 100, 3)
