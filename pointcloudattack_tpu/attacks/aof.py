@@ -90,19 +90,51 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
             _, evecs = graph_laplacian(adv, k=cfg.knn_k)
             lfc, hfc = spectral_split(adv, evecs, cfg.low_pass)
 
+            def update_best(best, full_logits, lfc_logits, adv_eval):
+                """Best tracking per the reference success rules
+                (TAOF_attack.py:205-211 / Eval_AOF.py:171,182)."""
+                o_bestdist, o_bestattack, o_bestscore = best
+                pred = jnp.argmax(full_logits, axis=-1)
+                lfc_pred = jnp.argmax(lfc_logits, axis=-1)
+                if cfg.targeted:
+                    succ = (pred == target) & (lfc_pred != yt)
+                    dist = l2_dist(adv_eval, ori)
+                else:
+                    # untargeted AOF also requires the LFC alone to fool
+                    # the model and tracks by Linf
+                    succ = (pred != target) & (lfc_pred != target)
+                    dist = jnp.max(jnp.abs(adv_eval - ori), axis=(1, 2))
+                improved = succ & (dist < o_bestdist)
+                return (
+                    jnp.where(improved, dist, o_bestdist),
+                    jnp.where(improved[:, None, None], adv_eval,
+                              o_bestattack),
+                    jnp.where(improved, pred, o_bestscore),
+                )
+
+            def loss_and_logits(l, h):
+                full_logits = model_fn(l + h)
+                lfc_logits = model_fn(l)
+                loss = jnp.sum(
+                    (1.0 - cfg.gamma) * adv_fn(full_logits, target)
+                    + cfg.gamma * adv_fn(lfc_logits, target)
+                )
+                return loss, (full_logits, lfc_logits)
+
             def step(carry, _):
                 lfc, hfc, opt_state, best, _last = carry
-                o_bestdist, o_bestattack, o_bestscore = best
 
-                def loss_fn(l):
-                    full_logits = model_fn(l + hfc)
-                    lfc_logits = model_fn(l)
-                    return jnp.sum(
-                        (1.0 - cfg.gamma) * adv_fn(full_logits, target)
-                        + cfg.gamma * adv_fn(lfc_logits, target)
-                    )
+                # the gradient pass's forwards double as the evaluation
+                # of the current (post-clip-from-previous) iterate — the
+                # reference's step/clip/eval ordering shifted one
+                # iteration, same set of evaluated iterates (the final
+                # iterate is evaluated once after the scan)
+                (_, (full_logits, lfc_logits)), grads = jax.value_and_grad(
+                    loss_and_logits, has_aux=True
+                )(lfc, hfc)
+                best = update_best(best, full_logits, lfc_logits, lfc + hfc)
+                eval_adv = lfc + hfc
 
-                grads = jax.grad(loss_fn)(lfc)
                 updates, opt_state = opt.update(grads, opt_state, lfc)
                 lfc = optax.apply_updates(lfc, updates)
 
@@ -114,39 +146,21 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
                 lfc = jax.lax.stop_gradient(lfc_new)
                 hfc = jax.lax.stop_gradient(hfc_new)
 
-                # evaluate (reference evaluates after the clip,
-                # TAOF_attack.py:175-211)
-                adv_eval = lfc + hfc
-                pred = jnp.argmax(model_fn(adv_eval), axis=-1)
-                lfc_pred = jnp.argmax(model_fn(lfc), axis=-1)
-                if cfg.targeted:
-                    # TAOF rule (TAOF_attack.py:205-211) + L2 tracking
-                    succ = (pred == target) & (lfc_pred != yt)
-                    dist = l2_dist(adv_eval, ori)
-                else:
-                    # untargeted AOF also requires the LFC alone to fool
-                    # the model and tracks by Linf (Eval_AOF.py:171,182)
-                    succ = (pred != target) & (lfc_pred != target)
-                    dist = jnp.max(
-                        jnp.abs(adv_eval - ori), axis=(1, 2)
-                    )
-                improved = succ & (dist < o_bestdist)
-                o_bestdist = jnp.where(improved, dist, o_bestdist)
-                o_bestscore = jnp.where(improved, pred, o_bestscore)
-                o_bestattack = jnp.where(
-                    improved[:, None, None], adv_eval, o_bestattack
-                )
-
-                best = (o_bestdist, o_bestattack, o_bestscore)
-                return (lfc, hfc, opt_state, best, adv_eval), None
+                return (lfc, hfc, opt_state, best, eval_adv), None
 
             init_best = (o_bestdist, o_bestattack, o_bestscore)
             (lfc, hfc, _, best, last_eval), _ = jax.lax.scan(
                 step, (lfc, hfc, opt.init(lfc), init_best, ori), None,
                 length=cfg.num_iter,
             )
+            # evaluate the final post-clip iterate (the shifted ordering
+            # above otherwise never scores it)
+            final_adv = lfc + hfc
+            best = update_best(
+                best, model_fn(final_adv), model_fn(lfc), final_adv
+            )
             o_bestdist, o_bestattack, o_bestscore = best
-            return (o_bestdist, o_bestattack, o_bestscore, last_eval), None
+            return (o_bestdist, o_bestattack, o_bestscore, final_adv), None
 
         init = (
             jnp.full((b,), 1e10, dtype=jnp.float32),
