@@ -400,10 +400,15 @@ def cmd_attack(args):
             build_add_points_attack,
         )
 
+        kw = {}
+        if args.init_weight:
+            kw["init_weight"] = args.init_weight
+        if args.max_weight:
+            kw["max_weight"] = args.max_weight
         acfg = AddPointsConfig(
             attack_lr=args.attack_lr, binary_step=args.binary_step,
             num_iter=args.num_iter, num_add=args.num_add,
-            targeted=targeted, kappa=args.kappa,
+            targeted=targeted, kappa=args.kappa, **kw,
         )
         adv, added, dist, success = build_add_points_attack(
             model_fn, acfg
@@ -414,9 +419,15 @@ def cmd_attack(args):
             build_add_clusters_attack,
         )
 
+        kw = {}
+        if args.init_weight:
+            kw["init_weight"] = args.init_weight
+        if args.max_weight:
+            kw["max_weight"] = args.max_weight
         acfg = AddClustersConfig(
             attack_lr=args.attack_lr, binary_step=args.binary_step,
             num_iter=args.num_iter, targeted=targeted, kappa=args.kappa,
+            **kw,
         )
         adv, added, dist, success = build_add_clusters_attack(
             model_fn, acfg
@@ -579,6 +590,10 @@ def build_parser():
     p.add_argument("--step_size", type=float, default=0.07)
     p.add_argument("--low_pass", type=int, default=100)
     p.add_argument("--num_add", type=int, default=512)
+    p.add_argument("--init_weight", type=float, default=0.0,
+                   help="binary-search weight init (0 = family default)")
+    p.add_argument("--max_weight", type=float, default=0.0,
+                   help="binary-search weight cap (0 = family default)")
     p.add_argument("--num_init", type=int, default=10)
     p.add_argument("--num_samples", type=int, default=0,
                    help="0 = whole dataset")
