@@ -73,21 +73,23 @@ def curvature_loss(
 def displacement_loss(
     adv: jax.Array, ori: jax.Array, k: int = 16
 ) -> jax.Array:
-    """Neighbourhood-coherence penalty on displacements, [B].
+    """Neighbourhood-coherence penalty on displacement MAGNITUDES, [B, N].
 
-    Reference attack/GeoA3/loss_utils.py:107-115: each point's displacement
-    should agree with the displacements of its clean-cloud neighbours.
+    Reference attack/GeoA3/loss_utils.py:107-115: theta_i = |adv_i - ori_i|^2
+    (a scalar per point); each point is penalized by the mean squared gap
+    between its theta and its clean-cloud neighbours' thetas. Shape [B, N]
+    like the reference (it returns the per-point map, not a batch scalar).
     """
     _, idx = knn_points(ori, ori, k=k, exclude_self=True)
-    disp = adv - ori  # [B, N, 3]
-    nbr_disp = index_points(disp, idx)  # [B, N, k, 3]
-    return jnp.mean(
-        jnp.sum((disp[:, :, None, :] - nbr_disp) ** 2, axis=-1), axis=(1, 2)
-    )
+    theta = jnp.sum((adv - ori) ** 2, axis=-1)  # [B, N]
+    nbr_theta = jnp.take_along_axis(
+        theta, idx.reshape(theta.shape[0], -1), axis=1
+    ).reshape(idx.shape)  # [B, N, k]
+    return jnp.mean((nbr_theta - theta[:, :, None]) ** 2, axis=-1)
 
 
 def knn_smoothing_loss(
-    adv: jax.Array, k: int = 5, threshold_coef: float = 1.1
+    adv: jax.Array, k: int = 5, threshold_coef: float = 1.05
 ) -> jax.Array:
     """Mean kNN distance of points above a stop-gradient threshold, [B].
 

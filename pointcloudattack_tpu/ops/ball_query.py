@@ -39,19 +39,22 @@ def query_ball_point(
     point_idx = jnp.arange(n, dtype=jnp.int32)  # [N]
     in_ball = sqr <= radius * radius
 
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    if on_tpu and nsample <= n:
+    from pointcloudattack_tpu.ops.backend import is_tpu_backend
+
+    if is_tpu_backend() and nsample <= n:
         # MXU formulation (2x faster than the top_k sort on v5e): the
         # j-th selected index is sum_i i * [cnt_i == j+1 & in_ball],
         # computed as a fused one-hot matmul over the slot assignment.
         cnt = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)
         slot = jnp.where(in_ball, cnt - 1, nsample)
         onehot = jax.nn.one_hot(slot, nsample, dtype=jnp.float32)
+        # HIGHEST precision: f32 represents integer indices exactly up
+        # to 2^24; the default bf16 MXU path would corrupt indices > 256
         gi = jnp.einsum(
-            "bsnk,n->bsk", onehot, point_idx.astype(jnp.float32)
+            "bsnk,n->bsk",
+            onehot,
+            point_idx.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
         total = cnt[..., -1]
         first = gi[..., :1]

@@ -114,24 +114,16 @@ def _min_rows_pallas_2d(x: jax.Array, y: jax.Array, interpret: bool = False):
 
 def _min_rows_xla(x: jax.Array, y: jax.Array):
     """Reference XLA path: same contract, dense [.., N, M] matrix."""
-    xx = jnp.sum(x * x, axis=-1, keepdims=True)
-    yy = jnp.sum(y * y, axis=-1, keepdims=True)
-    xy = jnp.einsum(
-        "...nc,...mc->...nm", x, y,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d = xx - 2.0 * xy + jnp.swapaxes(yy, -1, -2)
+    from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
+
+    d = pairwise_sqdist(x, y)
     return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
 def _use_pallas() -> bool:
-    if not _HAVE_PLTPU:
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from pointcloudattack_tpu.ops.backend import is_tpu_backend
+
+    return _HAVE_PLTPU and is_tpu_backend()
 
 
 @jax.custom_vjp
@@ -187,19 +179,3 @@ def _scatter_add(gy, idx_exp, vals):
 
 
 min_sqdist_rows.defvjp(_fwd, _bwd)
-
-
-def chamfer_both_fused(adv: jax.Array, ori: jax.Array):
-    """Fused-kernel Chamfer: (adv->ori, ori->adv) mean-of-min, each [B].
-
-    Drop-in for losses.distance.chamfer_both at large N.
-    """
-    a2o, _ = min_sqdist_rows(adv, ori)
-    o2a, _ = min_sqdist_rows(ori, adv)
-    return jnp.mean(a2o, axis=-1), jnp.mean(o2a, axis=-1)
-
-
-def hausdorff_both_fused(adv: jax.Array, ori: jax.Array):
-    a2o, _ = min_sqdist_rows(adv, ori)
-    o2a, _ = min_sqdist_rows(ori, adv)
-    return jnp.max(a2o, axis=-1), jnp.max(o2a, axis=-1)

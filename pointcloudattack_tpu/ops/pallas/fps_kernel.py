@@ -78,11 +78,8 @@ def fps_pallas(
 
 
 def use_fps_kernel(batch: int, n: int) -> bool:
-    if not _HAVE_PLTPU:
+    from pointcloudattack_tpu.ops.backend import is_tpu_backend
+
+    if not _HAVE_PLTPU or batch * n > _VMEM_ELEM_LIMIT:
         return False
-    if batch * n > _VMEM_ELEM_LIMIT:
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    return is_tpu_backend()

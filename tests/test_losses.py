@@ -130,12 +130,12 @@ class TestGeometryLosses:
         def total(a):
             k_ori = losses.kappa_ori(ori, normal)
             k_adv, _ = losses.kappa_adv(a, ori, normal)
-            return jnp.sum(
-                losses.chamfer_dist(a, ori)
-                + losses.hausdorff_dist(a, ori)
-                + losses.curvature_loss(a, ori, k_adv, k_ori)
-                + losses.displacement_loss(a, ori)
-                + losses.knn_smoothing_loss(a)
+            return (
+                jnp.sum(losses.chamfer_dist(a, ori))
+                + jnp.sum(losses.hausdorff_dist(a, ori))
+                + jnp.sum(losses.curvature_loss(a, ori, k_adv, k_ori))
+                + jnp.sum(losses.displacement_loss(a, ori))  # [B, N] map
+                + jnp.sum(losses.knn_smoothing_loss(a))
             )
 
         g = jax.grad(total)(adv)
@@ -192,3 +192,19 @@ class TestClips:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ori), atol=1e-6
         )
+
+
+class TestDisplacementOracle:
+    def test_magnitude_semantics(self):
+        """Reference compares scalar |d|^2 magnitudes, not vectors:
+        equal-magnitude opposite displacements give ZERO loss."""
+        rng = np.random.RandomState(3)
+        ori = rng.randn(1, 16, 3).astype(np.float32)
+        dirs = rng.randn(1, 16, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        adv = ori + 0.1 * dirs  # all |d|^2 equal
+        out = np.asarray(
+            losses.displacement_loss(jnp.asarray(adv), jnp.asarray(ori), k=4)
+        )
+        assert out.shape == (1, 16)
+        np.testing.assert_allclose(out, 0.0, atol=1e-8)
