@@ -27,7 +27,13 @@ from pointcloudattack_tpu.data.io import (
 
 def _read_label_csv(csv_path: str):
     """(paths, labels) with labels factorized in sorted order, like
-    ``pd.factorize(..., sort=True)`` (dataset/bosphorus_dataset.py:56)."""
+    ``pd.factorize(..., sort=True)`` (dataset/bosphorus_dataset.py:56).
+
+    pandas parses all-numeric class columns as ints, so '105' sorts
+    AFTER '99'; mirror that by sorting numerically whenever every class
+    name parses as a number (otherwise '105' would factorize below 104
+    and BosphorusDataset's adversarial-txt routing, cls > 104, breaks).
+    """
     paths, names = [], []
     with open(os.path.expanduser(csv_path)) as f:
         reader = csv.reader(f)
@@ -36,10 +42,14 @@ def _read_label_csv(csv_path: str):
             if len(row) >= 2:
                 paths.append(row[0])
                 names.append(row[1])
-    uniq = sorted(set(names))
-    to_id = {n: i for i, n in enumerate(uniq)}
+    uniq = set(names)
+    try:
+        ordered = sorted(uniq, key=lambda s: float(s))
+    except ValueError:
+        ordered = sorted(uniq)
+    to_id = {n: i for i, n in enumerate(ordered)}
     labels = np.asarray([to_id[n] for n in names], dtype=np.int64)
-    return paths, labels, len(uniq)
+    return paths, labels, len(ordered)
 
 
 class BosphorusDataset:
@@ -95,6 +105,8 @@ class EurecomDataset:
         pts = read_kinect_obj(
             self.paths[idx], replicate_x=self.replicate_x
         )
+        if len(pts) == 0:
+            pts = np.zeros((0, 3))  # empty scan degrades to a zero cloud
         self.rng.shuffle(pts)
         if len(pts) < self.num_points:
             pad = np.zeros((self.num_points - len(pts), 3))

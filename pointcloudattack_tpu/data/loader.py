@@ -26,6 +26,7 @@ def prefetch_to_device(
     """Wrap a host batch iterator with an N-deep device prefetch queue."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    _ERR = object()
 
     def put(batch):
         arrays = tuple(
@@ -37,8 +38,10 @@ def prefetch_to_device(
         try:
             for batch in batch_iter:
                 put(batch)
-        finally:
-            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            q.put((_ERR, e))
+            return
+        q.put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -46,6 +49,10 @@ def prefetch_to_device(
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            # surface worker failures instead of silently truncating the
+            # epoch
+            raise item[1]
         yield item
 
 

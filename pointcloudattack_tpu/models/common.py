@@ -45,23 +45,6 @@ class PointMLP(nn.Module):
         return x
 
 
-class DenseBNReLU(nn.Module):
-    """Single Dense + BatchNorm (+ optional ReLU)."""
-
-    features: int
-    relu: bool = True
-
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Dense(self.features)(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5
-        )(x)
-        if self.relu:
-            x = nn.relu(x)
-        return x
-
-
 def max_pool_points(x: jax.Array) -> jax.Array:
     """Global max over the point axis: [B, N, C] -> [B, C]."""
     return jnp.max(x, axis=1)

@@ -17,9 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointcloudattack_tpu.ops.ball_query import query_ball_point
-from pointcloudattack_tpu.ops.fps import farthest_point_sample
-from pointcloudattack_tpu.ops.gather import index_points
+from pointcloudattack_tpu.ops.grouping import sample_and_group
 from pointcloudattack_tpu.ops.interpolate import three_nn_interpolate
 
 
@@ -39,7 +37,11 @@ class _MLP(nn.Module):
 
 
 class PUNetSA(nn.Module):
-    """PU-Net set abstraction: FPS -> ball group (use_xyz) -> MLP -> max."""
+    """PU-Net set abstraction: FPS -> ball group (use_xyz) -> MLP -> max.
+
+    The grouping (relative xyz first, then features) is exactly
+    ops.grouping.sample_and_group's contract.
+    """
 
     npoint: int
     radius: float
@@ -48,16 +50,9 @@ class PUNetSA(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, feats):
-        fps_idx = farthest_point_sample(xyz, self.npoint, key=None)
-        new_xyz = index_points(xyz, fps_idx)
-        idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
-        grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
-        if feats is not None:
-            grouped = jnp.concatenate(
-                [grouped_xyz, index_points(feats, idx)], axis=-1
-            )
-        else:
-            grouped = grouped_xyz
+        new_xyz, grouped = sample_and_group(
+            self.npoint, self.radius, self.nsample, xyz, feats, key=None
+        )
         h = _MLP(self.mlp, name="mlp")(grouped)
         return new_xyz, jnp.max(h, axis=2)
 

@@ -33,8 +33,13 @@ def initialize_distributed(
         )
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        # benign double-init / single-process cases only; genuine
+        # misconfiguration (bad coordinator, missing process counts)
+        # must surface, not silently fall back to single-host
+        msg = str(e).lower()
+        if "already" not in msg and "single" not in msg:
+            raise
 
 
 def global_mesh() -> Mesh:

@@ -13,7 +13,7 @@ in parallel/ (the step itself is parallelism-agnostic).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Iterator
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -47,10 +47,14 @@ def nll_loss(log_probs: jax.Array, labels: jax.Array) -> jax.Array:
 def smoothed_ce_loss(
     logits: jax.Array, labels: jax.Array, eps: float = 0.2
 ) -> jax.Array:
-    """Label-smoothed CE (reference basic_util.py:17-34)."""
+    """Label-smoothed CE (reference basic_util.py:17-34).
+
+    The reference gives the target class exactly 1-eps and spreads eps
+    over the K-1 OTHER classes (not eps/K over all K).
+    """
     k = logits.shape[-1]
     one_hot = jax.nn.one_hot(labels, k, dtype=logits.dtype)
-    soft = one_hot * (1.0 - eps) + eps / k
+    soft = one_hot * (1.0 - eps) + (1.0 - one_hot) * eps / (k - 1)
     log_prb = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(jnp.sum(soft * log_prb, axis=-1))
 
@@ -64,23 +68,6 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
         staircase=True,
     )
     return optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2)
-
-
-@dataclasses.dataclass
-class TrainState:
-    params: Any
-    batch_stats: Any
-    opt_state: Any
-    step: int = 0
-
-
-def create_train_state(model, variables, cfg, steps_per_epoch) -> TrainState:
-    opt = make_optimizer(cfg, steps_per_epoch)
-    return TrainState(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=opt.init(variables["params"]),
-    )
 
 
 def make_train_step(model, cfg: TrainConfig, steps_per_epoch: int):
@@ -102,11 +89,12 @@ def make_train_step(model, cfg: TrainConfig, steps_per_epoch: int):
             y_flat = y.reshape(-1)
             loss = nll_loss(out_flat, y_flat)
             acc = jnp.mean(jnp.argmax(out_flat, axis=-1) == y_flat)
-            return loss, (new_state["batch_stats"], acc)
-        if cfg.output_kind == "logits" or cfg.label_smoothing > 0:
-            loss = smoothed_ce_loss(out, y, cfg.label_smoothing)
         else:
-            loss = nll_loss(out, y)
+            if cfg.output_kind == "logits" or cfg.label_smoothing > 0:
+                loss = smoothed_ce_loss(out, y, cfg.label_smoothing)
+            else:
+                loss = nll_loss(out, y)
+            acc = jnp.mean(jnp.argmax(out, axis=-1) == y)
         if cfg.feature_transform_reg > 0 and aux.get("trans_feat") is not None:
             from pointcloudattack_tpu.models.common import (
                 feature_transform_regularizer,
@@ -115,7 +103,6 @@ def make_train_step(model, cfg: TrainConfig, steps_per_epoch: int):
             loss = loss + cfg.feature_transform_reg * (
                 feature_transform_regularizer(aux["trans_feat"])
             )
-        acc = jnp.mean(jnp.argmax(out, axis=-1) == y)
         return loss, (new_state["batch_stats"], acc)
 
     @jax.jit
