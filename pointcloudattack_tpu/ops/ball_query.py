@@ -45,17 +45,27 @@ def query_ball_point(
         # MXU formulation (2x faster than the top_k sort on v5e): the
         # j-th selected index is sum_i i * [cnt_i == j+1 & in_ball],
         # computed as a fused one-hot matmul over the slot assignment.
+        # The default bf16 MXU truncation would corrupt raw indices
+        # above 256, so the index is split into (hi, lo) bytes — both
+        # < 256, exactly representable in bf16; one-hot entries are
+        # exact 0/1 and products accumulate in f32, so the recombined
+        # index is exact without paying for HIGHEST (6-pass) matmuls.
         cnt = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)
         slot = jnp.where(in_ball, cnt - 1, nsample)
-        onehot = jax.nn.one_hot(slot, nsample, dtype=jnp.float32)
-        # HIGHEST precision: f32 represents integer indices exactly up
-        # to 2^24; the default bf16 MXU path would corrupt indices > 256
-        gi = jnp.einsum(
-            "bsnk,n->bsk",
+        onehot = jax.nn.one_hot(slot, nsample, dtype=jnp.bfloat16)
+        hi_lo = jnp.stack(
+            [point_idx // 256, point_idx % 256], axis=-1
+        ).astype(jnp.bfloat16)  # [N, 2]
+        parts = jnp.einsum(
+            "bsnk,nc->bskc",
             onehot,
-            point_idx.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.int32)
+            hi_lo,
+            preferred_element_type=jnp.float32,
+        )
+        gi = (
+            parts[..., 0].astype(jnp.int32) * 256
+            + parts[..., 1].astype(jnp.int32)
+        )
         total = cnt[..., -1]
         first = gi[..., :1]
         valid = (
