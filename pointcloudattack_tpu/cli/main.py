@@ -126,9 +126,35 @@ def cmd_train(args):
         output_kind=models.OUTPUT_KIND[cfg.model],
         feature_transform_reg=0.001 if cfg.feature_transform else 0.0,
     )
+    # held-out eval split when one exists; synthetic (and face CSVs
+    # without --eval_dataset_path) fall back to train-set accuracy
+    eval_clouds, eval_labels = clouds, labels
+    if args.eval_dataset_path:
+        import dataclasses as _dc
+
+        eval_ds, _ = _load_dataset(
+            _dc.replace(cfg, dataset_path=args.eval_dataset_path), "test"
+        )
+        eval_items = [eval_ds[i] for i in range(len(eval_ds))]
+        eval_clouds = np.stack([it[0] for it in eval_items])
+        eval_labels = np.asarray(
+            [it[1] for it in eval_items], dtype=np.int64
+        )
+    elif cfg.dataset in ("ModelNet", "ShapeNet"):
+        eval_ds, _ = _load_dataset(cfg, "test")
+        eval_items = [eval_ds[i] for i in range(len(eval_ds))]
+        eval_clouds = np.stack([it[0] for it in eval_items])
+        eval_labels = np.asarray(
+            [it[1] for it in eval_items], dtype=np.int64
+        )
+    else:
+        print(
+            "note: no eval split available — reported eval_acc is "
+            "train-set accuracy"
+        )
     variables = fit(
         model, variables, tcfg, clouds, labels,
-        eval_data=clouds, eval_labels=labels, seed=cfg.seed,
+        eval_data=eval_clouds, eval_labels=eval_labels, seed=cfg.seed,
         log_fn=print,
     )
     out = os.path.join(
@@ -164,6 +190,235 @@ def _dump_adv(outdir, name, adv, labels, preds):
             outdir, f"{name}_{i}_label{int(labels[i])}_pred{int(preds[i])}.txt"
         )
         np.savetxt(path, np.asarray(adv[i]), fmt="%.6f")
+
+
+ATTACK_FAMILIES = (
+    "cw", "perturb", "knn", "geoa3", "aof", "taof", "cta", "iso",
+    "siadv", "simba", "simbapp", "si-query", "add-points", "add-clusters",
+)
+
+
+def _run_family(
+    args, cfg, family, model_fn, data, target, labels, true_labels,
+    targeted, key, num_classes, clouds,
+):
+    """Dispatch one attack family; returns (adv, success).
+
+    --binary_step / --num_iter of 0 mean "use the family's reference
+    default" (each config dataclass carries it).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if family in ("cw", "perturb"):
+        from pointcloudattack_tpu.attacks.cw import (
+            CWPerturbConfig,
+            build_cw_attack,
+        )
+
+        acfg = CWPerturbConfig(
+            attack_lr=args.attack_lr,
+            binary_step=args.binary_step or 10,
+            num_iter=args.num_iter or 500,
+            kappa=args.kappa, budget=args.budget,
+            targeted=targeted, adv_func=args.adv_func,
+        )
+        res = build_cw_attack(model_fn, acfg)(data, target, key)
+        adv, success = res.best_attack, res.success
+    elif family == "knn":
+        from pointcloudattack_tpu.attacks.knn import (
+            KNNAttackConfig,
+            build_knn_attack,
+        )
+
+        acfg = KNNAttackConfig(
+            attack_lr=args.attack_lr, num_iter=args.num_iter or 2500,
+            kappa=args.kappa, budget=args.budget, targeted=targeted,
+            adv_func=args.adv_func,
+        )
+        adv, success = build_knn_attack(model_fn, acfg)(data, target, key)
+    elif family == "geoa3":
+        from pointcloudattack_tpu.attacks.geoa3 import (
+            GeoA3Config,
+            build_geoa3_attack,
+        )
+
+        acfg = GeoA3Config(
+            lr=args.attack_lr, binary_max_steps=args.binary_step or 10,
+            iter_max_steps=args.num_iter or 500, targeted=targeted,
+        )
+        adv, _, success = build_geoa3_attack(model_fn, acfg)(
+            data, target, key
+        )
+    elif family in ("aof", "taof"):
+        from pointcloudattack_tpu.attacks.aof import (
+            AOFConfig,
+            build_aof_attack,
+        )
+
+        acfg = AOFConfig(
+            attack_lr=args.attack_lr, binary_step=args.binary_step or 2,
+            num_iter=args.num_iter or 200, budget=args.budget,
+            kappa=args.kappa,
+            targeted=(family == "taof"), low_pass=args.low_pass,
+        )
+        adv, best_dist, success = build_aof_attack(model_fn, acfg)(
+            data, target, key
+        )
+        # npz result bundle like reference Eval_AOF.py:245-259
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        np.savez(
+            os.path.join(cfg.output_dir, f"{family}_results.npz"),
+            test_pc=np.asarray(adv),
+            test_label=true_labels,
+            target_label=labels,
+        )
+    elif family == "siadv":
+        from pointcloudattack_tpu.attacks.siadv import (
+            SIAdvConfig,
+            build_si_ifgm,
+        )
+
+        acfg = SIAdvConfig(
+            eps=args.budget, step_size=args.step_size,
+            max_steps=args.num_iter or 50,
+        )
+        adv, pred, success = build_si_ifgm(model_fn, model_fn, acfg)(
+            data, target
+        )
+    elif family in ("simba", "simbapp", "si-query"):
+        from pointcloudattack_tpu.attacks import siadv as S
+
+        kw = {"max_queries": args.num_iter} if args.num_iter else {}
+        acfg = S.SIAdvConfig(
+            eps=args.budget, step_size=args.step_size, **kw
+        )
+        if family == "simba":
+            adv, pred, success, queries = S.build_simba(model_fn, acfg)(
+                data, target, key
+            )
+        elif family == "simbapp":
+            adv, pred, success, queries = S.build_simbapp(
+                model_fn, model_fn, acfg
+            )(data, target, key)
+        else:
+            adv, pred, success, queries = S.build_si_query_attack(
+                model_fn, model_fn, acfg
+            )(data, target)
+        print(f"mean query cost: {np.asarray(queries).mean():.1f}")
+    elif family == "cta":
+        from pointcloudattack_tpu.attacks.cta import (
+            CTAConfig,
+            build_cta_attack,
+        )
+
+        acfg = CTAConfig(target_mode=args.cta_target_mode)
+        adv, pred, success, steps = build_cta_attack(model_fn, acfg)(
+            data, target, key
+        )
+    elif family == "iso":
+        from pointcloudattack_tpu.attacks import iso as I
+
+        bandit = I.BernThompson(
+            d=4, a0=-np.pi, b0=np.pi, seed=cfg.seed
+        )
+        grad_attack = I.build_gradient_iso_attack(
+            model_fn,
+            I.ISOConfig(step_size=args.step_size or 0.01,
+                        num_steps=args.num_iter or 200),
+        )
+        def true_prob(obj, lab):
+            prob = jax.nn.softmax(model_fn(obj), axis=-1)
+            return float(np.asarray(prob)[0, int(lab[0])])
+
+        rows, succ_list, init_succ, adv_list = [], [], 0, []
+        for i in range(len(labels)):
+            obj = data[i : i + 1]
+            lab = target[i : i + 1]
+            prob_before = true_prob(obj, lab)
+            w, ok, tries = I.thompson_sample_attack(
+                model_fn, bandit, obj, lab, num_init=args.num_init
+            )
+            init_succ += int(ok)
+            steps = 0
+            pen = 0.0
+            if not ok:
+                w, okv, pen, steps = grad_attack(
+                    obj, lab, w, jax.random.fold_in(key, i)
+                )
+                ok = bool(np.asarray(okv).all())
+            adv_i = I.apply_iso(obj, w)
+            prob_after = true_prob(adv_i, lab)
+            pred_after = int(
+                np.argmax(np.asarray(model_fn(adv_i)), axis=-1)[0]
+            )
+            succ_list.append(ok)
+            adv_list.append(np.asarray(adv_i)[0])
+            # reference per-sample schema:
+            # attack/ISO/logs_attack/ctri_modelnet40_PointNet_attack.csv
+            rows.append(
+                [i, int(true_labels[i]), round(prob_before, 5),
+                 round(prob_after, 5), pred_after, float(pen),
+                 int(steps), round(float(np.mean(succ_list)), 4),
+                 round(init_succ / (i + 1), 4)]
+            )
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        import csv as _csv
+
+        with open(
+            os.path.join(cfg.output_dir, "iso_attack_log.csv"), "w",
+            newline="",
+        ) as f:
+            w = _csv.writer(f)
+            w.writerow(
+                ["index", "true_label", "prob_before", "prob_after",
+                 "pred_label", "penalty", "steps",
+                 "running_success_rate", "tsi_init_success_rate"]
+            )
+            w.writerows(rows)
+        adv = np.stack(adv_list)
+        success = np.asarray(succ_list)
+    elif family == "add-points":
+        from pointcloudattack_tpu.attacks.gen3dadv import (
+            AddPointsConfig,
+            build_add_points_attack,
+        )
+
+        kw = {}
+        if args.init_weight:
+            kw["init_weight"] = args.init_weight
+        if args.max_weight:
+            kw["max_weight"] = args.max_weight
+        acfg = AddPointsConfig(
+            attack_lr=args.attack_lr, binary_step=args.binary_step or 10,
+            num_iter=args.num_iter or 500, num_add=args.num_add,
+            targeted=targeted, kappa=args.kappa, **kw,
+        )
+        adv, added, dist, success = build_add_points_attack(
+            model_fn, acfg
+        )(data, target, key)
+    elif family == "add-clusters":
+        from pointcloudattack_tpu.attacks.gen3dadv import (
+            AddClustersConfig,
+            build_add_clusters_attack,
+        )
+
+        kw = {}
+        if args.init_weight:
+            kw["init_weight"] = args.init_weight
+        if args.max_weight:
+            kw["max_weight"] = args.max_weight
+        acfg = AddClustersConfig(
+            attack_lr=args.attack_lr, binary_step=args.binary_step or 5,
+            num_iter=args.num_iter or 500, targeted=targeted,
+            kappa=args.kappa, **kw,
+        )
+        adv, added, dist, success = build_add_clusters_attack(
+            model_fn, acfg
+        )(data, target, key)
+    else:
+        raise SystemExit(f"unknown attack family {family!r}")
+    return adv, success
 
 
 def cmd_attack(args):
@@ -215,14 +470,21 @@ def cmd_attack(args):
     targeted = args.attack_method == "target"
     key = jax.random.PRNGKey(cfg.seed)
     family = args.family
-    from pointcloudattack_tpu.utils.profiling import profile_trace
-
-    profile_ctx = profile_trace(getattr(args, "profile_dir", ""))
-    profile_ctx.__enter__()
-    t0 = time.time()
 
     data = jnp.asarray(clouds)
-    target = jnp.asarray(labels)
+    true_labels = labels  # kept for dumps/npz/recovery stats
+    if targeted and not args.face_txt:
+        # dataset-mode targeted runs need a target different from the
+        # truth; --target_class sets it globally, default rotates to
+        # the next class
+        if args.target_class >= 0:
+            tgt_np = np.full_like(labels, args.target_class)
+        else:
+            tgt_np = (labels + 1) % num_classes
+        target = jnp.asarray(tgt_np)
+        labels = tgt_np
+    else:
+        target = jnp.asarray(labels)
     if args.attack_method == "top1_error":
         # attack toward the clean prediction's runner-up class
         # (reference attack/CW/CW_attack.py:86-89)
@@ -232,211 +494,20 @@ def cmd_attack(args):
         labels = np.asarray(order2, dtype=np.int64)
         targeted = True
 
-    if family in ("cw", "perturb"):
-        from pointcloudattack_tpu.attacks.cw import (
-            CWPerturbConfig,
-            build_cw_attack,
-        )
+    from pointcloudattack_tpu.utils.profiling import profile_trace
 
-        acfg = CWPerturbConfig(
-            attack_lr=args.attack_lr, binary_step=args.binary_step,
-            num_iter=args.num_iter, kappa=args.kappa, budget=args.budget,
-            targeted=targeted, adv_func=args.adv_func,
+    profile_ctx = profile_trace(getattr(args, "profile_dir", ""))
+    profile_ctx.__enter__()
+    t0 = time.time()
+    try:
+        adv, success = _run_family(
+            args, cfg, family, model_fn, data, target, labels, true_labels,
+            targeted, key, num_classes, clouds,
         )
-        res = build_cw_attack(model_fn, acfg)(data, target, key)
-        adv, success = res.best_attack, res.success
-    elif family == "knn":
-        from pointcloudattack_tpu.attacks.knn import (
-            KNNAttackConfig,
-            build_knn_attack,
-        )
+    finally:
+        dt = time.time() - t0
+        profile_ctx.__exit__(None, None, None)
 
-        acfg = KNNAttackConfig(
-            attack_lr=args.attack_lr, num_iter=args.num_iter,
-            kappa=args.kappa, budget=args.budget, targeted=targeted,
-            adv_func=args.adv_func,
-        )
-        adv, success = build_knn_attack(model_fn, acfg)(data, target, key)
-    elif family == "geoa3":
-        from pointcloudattack_tpu.attacks.geoa3 import (
-            GeoA3Config,
-            build_geoa3_attack,
-        )
-
-        acfg = GeoA3Config(
-            lr=args.attack_lr, binary_max_steps=args.binary_step,
-            iter_max_steps=args.num_iter, targeted=targeted,
-        )
-        adv, _, success = build_geoa3_attack(model_fn, acfg)(
-            data, target, key
-        )
-    elif family in ("aof", "taof"):
-        from pointcloudattack_tpu.attacks.aof import (
-            AOFConfig,
-            build_aof_attack,
-        )
-
-        acfg = AOFConfig(
-            attack_lr=args.attack_lr, binary_step=args.binary_step,
-            num_iter=args.num_iter, budget=args.budget, kappa=args.kappa,
-            targeted=(family == "taof"), low_pass=args.low_pass,
-        )
-        adv, best_dist, success = build_aof_attack(model_fn, acfg)(
-            data, target, key
-        )
-        # npz result bundle like reference Eval_AOF.py:245-259
-        os.makedirs(cfg.output_dir, exist_ok=True)
-        np.savez(
-            os.path.join(cfg.output_dir, f"{family}_results.npz"),
-            test_pc=np.asarray(adv),
-            test_label=labels,
-            target_label=labels,
-        )
-    elif family == "siadv":
-        from pointcloudattack_tpu.attacks.siadv import (
-            SIAdvConfig,
-            build_si_ifgm,
-        )
-
-        acfg = SIAdvConfig(
-            eps=args.budget, step_size=args.step_size,
-            max_steps=args.num_iter,
-        )
-        adv, pred, success = build_si_ifgm(model_fn, model_fn, acfg)(
-            data, target
-        )
-    elif family in ("simba", "simbapp", "si-query"):
-        from pointcloudattack_tpu.attacks import siadv as S
-
-        acfg = S.SIAdvConfig(eps=args.budget, step_size=args.step_size)
-        if family == "simba":
-            adv, pred, success, queries = S.build_simba(model_fn, acfg)(
-                data, target, key
-            )
-        elif family == "simbapp":
-            adv, pred, success, queries = S.build_simbapp(
-                model_fn, model_fn, acfg
-            )(data, target, key)
-        else:
-            adv, pred, success, queries = S.build_si_query_attack(
-                model_fn, model_fn, acfg
-            )(data, target)
-        print(f"mean query cost: {np.asarray(queries).mean():.1f}")
-    elif family == "cta":
-        from pointcloudattack_tpu.attacks.cta import (
-            CTAConfig,
-            build_cta_attack,
-        )
-
-        acfg = CTAConfig(target_mode=args.cta_target_mode)
-        adv, pred, success, steps = build_cta_attack(model_fn, acfg)(
-            data, target, key
-        )
-    elif family == "iso":
-        from pointcloudattack_tpu.attacks import iso as I
-
-        bandit = I.BernThompson(
-            d=4, a0=-np.pi, b0=np.pi, seed=cfg.seed
-        )
-        grad_attack = I.build_gradient_iso_attack(
-            model_fn,
-            I.ISOConfig(step_size=args.step_size or 0.01,
-                        num_steps=args.num_iter),
-        )
-        def true_prob(obj, lab):
-            prob = jax.nn.softmax(model_fn(obj), axis=-1)
-            return float(np.asarray(prob)[0, int(lab[0])])
-
-        rows, succ_list, init_succ, adv_list = [], [], 0, []
-        for i in range(len(labels)):
-            obj = data[i : i + 1]
-            lab = target[i : i + 1]
-            prob_before = true_prob(obj, lab)
-            w, ok, tries = I.thompson_sample_attack(
-                model_fn, bandit, obj, lab, num_init=args.num_init
-            )
-            init_succ += int(ok)
-            steps = 0
-            pen = 0.0
-            if not ok:
-                w, okv, pen, steps = grad_attack(
-                    obj, lab, w, jax.random.fold_in(key, i)
-                )
-                ok = bool(np.asarray(okv).all())
-            adv_i = I.apply_iso(obj, w)
-            prob_after = true_prob(adv_i, lab)
-            pred_after = int(
-                np.argmax(np.asarray(model_fn(adv_i)), axis=-1)[0]
-            )
-            succ_list.append(ok)
-            adv_list.append(np.asarray(adv_i)[0])
-            # reference per-sample schema:
-            # attack/ISO/logs_attack/ctri_modelnet40_PointNet_attack.csv
-            rows.append(
-                [i, int(labels[i]), round(prob_before, 5),
-                 round(prob_after, 5), pred_after, float(pen),
-                 int(steps), round(float(np.mean(succ_list)), 4),
-                 round(init_succ / (i + 1), 4)]
-            )
-        os.makedirs(cfg.output_dir, exist_ok=True)
-        import csv as _csv
-
-        with open(
-            os.path.join(cfg.output_dir, "iso_attack_log.csv"), "w",
-            newline="",
-        ) as f:
-            w = _csv.writer(f)
-            w.writerow(
-                ["index", "true_label", "prob_before", "prob_after",
-                 "pred_label", "penalty", "steps",
-                 "running_success_rate", "tsi_init_success_rate"]
-            )
-            w.writerows(rows)
-        adv = np.stack(adv_list)
-        success = np.asarray(succ_list)
-    elif family == "add-points":
-        from pointcloudattack_tpu.attacks.gen3dadv import (
-            AddPointsConfig,
-            build_add_points_attack,
-        )
-
-        kw = {}
-        if args.init_weight:
-            kw["init_weight"] = args.init_weight
-        if args.max_weight:
-            kw["max_weight"] = args.max_weight
-        acfg = AddPointsConfig(
-            attack_lr=args.attack_lr, binary_step=args.binary_step,
-            num_iter=args.num_iter, num_add=args.num_add,
-            targeted=targeted, kappa=args.kappa, **kw,
-        )
-        adv, added, dist, success = build_add_points_attack(
-            model_fn, acfg
-        )(data, target, key)
-    elif family == "add-clusters":
-        from pointcloudattack_tpu.attacks.gen3dadv import (
-            AddClustersConfig,
-            build_add_clusters_attack,
-        )
-
-        kw = {}
-        if args.init_weight:
-            kw["init_weight"] = args.init_weight
-        if args.max_weight:
-            kw["max_weight"] = args.max_weight
-        acfg = AddClustersConfig(
-            attack_lr=args.attack_lr, binary_step=args.binary_step,
-            num_iter=args.num_iter, targeted=targeted, kappa=args.kappa,
-            **kw,
-        )
-        adv, added, dist, success = build_add_clusters_attack(
-            model_fn, acfg
-        )(data, target, key)
-    else:
-        raise SystemExit(f"unknown attack family {family!r}")
-
-    dt = time.time() - t0
-    profile_ctx.__exit__(None, None, None)
     success = np.asarray(success)
     asr = float(success.mean())
     print(
@@ -444,45 +515,40 @@ def cmd_attack(args):
         f"({int(success.sum())}/{len(success)}) in {dt:.1f}s"
     )
 
-    # imperceptibility metrics (reference Eval_SIadv.py:140-157)
-    if np.asarray(adv).shape[1] == clouds.shape[1]:
-        import jax.numpy as jnp
-
-        from pointcloudattack_tpu.losses.distance import (
-            chamfer_dist,
-            hausdorff_dist,
-        )
-
-        a = jnp.asarray(np.asarray(adv))
-        o = jnp.asarray(clouds)
-        mse = float(
-            np.sqrt(((np.asarray(adv) - clouds) ** 2).mean())
-        )
-        cd = float(np.mean(np.asarray(chamfer_dist(a, o))))
-        hd = float(np.mean(np.asarray(hausdorff_dist(a, o))))
-        print(f"MSE {mse:.6f}  Chamfer {cd:.6f}  Hausdorff {hd:.6f}")
-
-    preds = np.argmax(
-        np.asarray(model_fn(jnp.asarray(np.asarray(adv)))), axis=-1
-    )
-    if args.save_adv:
-        _dump_adv(
-            os.path.join(cfg.output_dir, "AdvData", cfg.model),
-            family, np.asarray(adv), labels, preds,
-        )
+    adv_np = np.asarray(adv)
     summary = {
         "family": family, "model": cfg.model, "asr": asr,
         "wall_clock_s": dt, "n": int(len(success)),
     }
 
+    # imperceptibility metrics (reference Eval_SIadv.py:140-157)
+    if adv_np.shape[1] == clouds.shape[1]:
+        from pointcloudattack_tpu.utils.metrics import (
+            imperceptibility_metrics,
+        )
+
+        im = imperceptibility_metrics(adv_np, clouds)
+        summary.update(im)
+        print(
+            f"MSE {im['mse']:.6f}  Chamfer {im['chamfer']:.6f}  "
+            f"Hausdorff {im['hausdorff']:.6f}"
+        )
+
+    if args.save_adv:
+        preds = np.argmax(np.asarray(model_fn(jnp.asarray(adv_np))), axis=-1)
+        _dump_adv(
+            os.path.join(cfg.output_dir, "AdvData", cfg.model),
+            family, adv_np, true_labels, preds,
+        )
+
     # shuffle + transfer self-tests (reference CW_attack.py:226-257)
-    if np.asarray(adv).shape[1] == clouds.shape[1]:
+    if adv_np.shape[1] == clouds.shape[1]:
         from pointcloudattack_tpu.attacks.evaluation import (
             shuffle_robustness,
             transfer_matrix,
         )
 
-        adv_j = jnp.asarray(np.asarray(adv))
+        adv_j = jnp.asarray(adv_np)
         shuf = shuffle_robustness(
             model_fn, adv_j, jnp.asarray(labels),
             jax.random.PRNGKey(cfg.seed + 1), targeted=targeted,
@@ -502,12 +568,15 @@ def cmd_attack(args):
             )
             summary["transfer_asr"] = mat
             print(f"transfer ASR: {mat}")
-    os.makedirs(cfg.output_dir, exist_ok=True)
-    with open(
-        os.path.join(cfg.output_dir, f"attack_{family}_summary.json"), "w"
-    ) as f:
-        json.dump(summary, f)
+    from pointcloudattack_tpu.utils.metrics import write_json
+
+    write_json(
+        os.path.join(cfg.output_dir, f"attack_{family}_summary.json"),
+        summary,
+    )
     return asr
+
+
 
 
 def dataclasses_replace_model(cfg: RunConfig, model: str) -> RunConfig:
@@ -568,24 +637,26 @@ def build_parser():
     p = add_common_args(sub.add_parser("train"))
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--eval_dataset_path", default="",
+                   help="held-out split csv/root for eval accuracy")
     p.set_defaults(fn=cmd_train)
 
     p = add_common_args(sub.add_parser("test"))
     p.set_defaults(fn=cmd_test)
 
     p = add_common_args(sub.add_parser("attack"))
-    p.add_argument("family",
-                   help="cw | knn | geoa3 | aof | taof | cta | iso | siadv |"
-                        " simba | simbapp | si-query | perturb | add-points |"
-                        " add-clusters")
+    p.add_argument("family", choices=list(ATTACK_FAMILIES),
+                   help="attack family")
     p.add_argument("--attack_method", default="untarget",
                    help="untarget | target | top1_error")
     p.add_argument("--adv_func", default="logits",
                    help="logits | cross_entropy")
     p.add_argument("--kappa", type=float, default=30.0)
     p.add_argument("--attack_lr", type=float, default=1e-2)
-    p.add_argument("--binary_step", type=int, default=10)
-    p.add_argument("--num_iter", type=int, default=500)
+    p.add_argument("--binary_step", type=int, default=0,
+                   help="0 = family reference default")
+    p.add_argument("--num_iter", type=int, default=0,
+                   help="0 = family reference default")
     p.add_argument("--budget", type=float, default=0.18)
     p.add_argument("--step_size", type=float, default=0.07)
     p.add_argument("--low_pass", type=int, default=100)
@@ -606,6 +677,9 @@ def build_parser():
     p.add_argument("--face_txt", default="",
                    help="single face-probe txt cloud (targeted experiments)")
     p.add_argument("--face_label", type=int, default=105)
+    p.add_argument("--target_class", type=int, default=-1,
+                   help="targeted mode: attack target class "
+                        "(-1 = next class after the truth)")
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace into this dir")
     p.set_defaults(fn=cmd_attack)

@@ -22,9 +22,13 @@ def convergence_iterations(loss_history: np.ndarray, tol: float = 1e-4):
       [B] int iteration indices.
     """
     lh = np.asarray(loss_history)
+    # strict improvement over the PREVIOUS running best; a plateau (the
+    # margin losses clamp to a constant after success) must not count
     best = np.minimum.accumulate(lh, axis=0)
-    improved = lh <= best + tol
-    # last iteration that improved on the running best
+    prev_best = np.concatenate(
+        [np.full((1, lh.shape[1]), np.inf), best[:-1]], axis=0
+    )
+    improved = lh < prev_best - tol
     idx = np.zeros(lh.shape[1], dtype=np.int64)
     for b in range(lh.shape[1]):
         w = np.where(improved[:, b])[0]
