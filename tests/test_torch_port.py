@@ -5,6 +5,10 @@ dicts with the reference's exact tensor names/shapes (random values) and
 checks (a) the ported tree loads into the flax model, and (b) for
 PointNet, the flax forward matches an independent numpy implementation
 of the reference architecture evaluated directly on the state dict.
+
+True numeric parity against the actual reference PyTorch modules
+(all four portable models + PUNet + the CW loop end-to-end) lives in
+tests/test_reference_parity.py.
 """
 
 import numpy as np
