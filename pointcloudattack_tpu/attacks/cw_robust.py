@@ -1,7 +1,11 @@
 """Robust-CW variant with EOT-style input transforms.
 
 Behavioral twin of reference attack/additional_exp/CW_attack.py:12-321 —
-the plain CW loop extended with four toggles:
+the plain CW loop extended with five toggles:
+  * whether_1d: perturb the z coordinate only — after every optimizer
+    step x/y are reset to the original and z is box-clipped to
+    ±box_constraint (0.4) around the original (:16,44,268-275; the
+    reference's DEFAULT mode);
   * renormalization: re-center + unit-sphere scale before each forward
     (:110-118);
   * 3Dtransform: average the adversarial loss over 10 random small
@@ -39,6 +43,8 @@ class RobustCWConfig:
     num_iter: int = 500
     targeted: bool = True  # reference default whether_target=True
     kappa: float = 30.0
+    whether_1d: bool = True  # reference default whether_1d=True (:16)
+    box_constraint: float = 0.4  # z box half-width in 1d mode (:44)
     renormalization: bool = False
     transform_eot: bool = False
     num_eot: int = 10
@@ -172,6 +178,14 @@ def build_robust_cw_attack(model_fn, dist_fn, cfg: RobustCWConfig):
             pre_step_adv = adv
             updates, opt_state = opt.update(grads, opt_state, adv)
             adv = optax.apply_updates(adv, updates)
+            if cfg.whether_1d:
+                # z-only attack: restore x/y, box-clip z (:268-275)
+                z = jnp.clip(
+                    adv[..., 2],
+                    ori[..., 2] - cfg.box_constraint,
+                    ori[..., 2] + cfg.box_constraint,
+                )
+                adv = jnp.concatenate([ori[..., :2], z[..., None]], axis=-1)
 
             best = (bestdist, bestscore, o_bestdist, o_bestscore,
                     o_bestattack, w)

@@ -193,7 +193,8 @@ def _dump_adv(outdir, name, adv, labels, preds):
 
 
 ATTACK_FAMILIES = (
-    "cw", "perturb", "knn", "geoa3", "aof", "taof", "cta", "iso",
+    "cw", "cw-robust", "perturb", "knn", "geoa3", "geoa3-partial",
+    "aof", "taof", "cta", "iso",
     "siadv", "simba", "simbapp", "si-query", "add-points", "add-clusters",
 )
 
@@ -225,6 +226,44 @@ def _run_family(
         )
         res = build_cw_attack(model_fn, acfg)(data, target, key)
         adv, success = res.best_attack, res.success
+    elif family == "cw-robust":
+        # additional_exp twin (reference attack/additional_exp/CW_attack.py)
+        from pointcloudattack_tpu.attacks.cw_robust import (
+            RobustCWConfig,
+            build_robust_cw_attack,
+        )
+        from pointcloudattack_tpu.losses.distance import l2_dist
+
+        acfg = RobustCWConfig(
+            attack_lr=args.attack_lr,
+            binary_step=args.binary_step or 10,
+            num_iter=args.num_iter or 500,
+            kappa=args.kappa, targeted=targeted,
+            whether_1d=bool(args.whether_1d),
+            box_constraint=args.box_constraint,
+            renormalization=bool(args.renormalization),
+            transform_eot=bool(args.eot),
+            resample=bool(args.resample),
+        )
+        adv, _, success = build_robust_cw_attack(
+            model_fn, l2_dist, acfg
+        )(data, target, key)
+    elif family == "geoa3-partial":
+        from pointcloudattack_tpu.attacks.geoa3_partial import (
+            GeoA3PartialConfig,
+            build_geoa3_partial_attack,
+        )
+
+        acfg = GeoA3PartialConfig(
+            lr=args.attack_lr, binary_max_steps=args.binary_step or 10,
+            iter_max_steps=args.num_iter or 500, targeted=targeted,
+            cls_loss_type="CE",
+            knn_range=args.knn_range, refresh_iters=args.refresh_iters,
+            subsample_npoint=args.subsample_npoint,
+        )
+        adv, _, success = build_geoa3_partial_attack(model_fn, acfg)(
+            data, target, key
+        )
     elif family == "knn":
         from pointcloudattack_tpu.attacks.knn import (
             KNNAttackConfig,
@@ -680,6 +719,25 @@ def build_parser():
     p.add_argument("--target_class", type=int, default=-1,
                    help="targeted mode: attack target class "
                         "(-1 = next class after the truth)")
+    # cw-robust (additional_exp) toggles; defaults mirror the reference
+    # constructor (additional_exp/CW_attack.py:16-17)
+    p.add_argument("--whether_1d", type=int, default=1,
+                   help="cw-robust: z-only attack with box clip (0/1)")
+    p.add_argument("--box_constraint", type=float, default=0.4,
+                   help="cw-robust: z box half-width in 1d mode")
+    p.add_argument("--renormalization", type=int, default=0,
+                   help="cw-robust: unit-sphere renorm before forward (0/1)")
+    p.add_argument("--eot", type=int, default=0,
+                   help="cw-robust: average loss over random rotations (0/1)")
+    p.add_argument("--resample", type=int, default=0,
+                   help="cw-robust: random half-resample before forward (0/1)")
+    # geoa3-partial knobs (reference GeoA3_attack.py:259-306)
+    p.add_argument("--knn_range", type=int, default=16,
+                   help="geoa3-partial: patch size")
+    p.add_argument("--refresh_iters", type=int, default=50,
+                   help="geoa3-partial: iterations between patch refreshes")
+    p.add_argument("--subsample_npoint", type=int, default=0,
+                   help="geoa3-partial: FPS eval subsample (0 = off)")
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace into this dir")
     p.set_defaults(fn=cmd_attack)
