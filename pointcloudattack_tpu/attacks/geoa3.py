@@ -72,6 +72,11 @@ class GeoA3Config:
     jitter_refresh_iters: int = 50
     use_offset_proj: bool = False
     cc_linf: float = 0.0
+    # compile-time/runtime trade: unroll the binary-search rounds in the
+    # HLO (the round-1 behavior) instead of scanning them. Scanning cuts
+    # trace+compile ~10x at binary_max_steps=10 with bit-identical results
+    # (tests/test_attack_families.py::test_geoa3_scan_matches_unroll).
+    unroll_rounds: bool = False
 
 
 def _constraint_loss(adv, ori, normal_ori, k_ori, cfg: GeoA3Config):
@@ -273,10 +278,15 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
             jnp.broadcast_to(ori, ori.shape),
         )
         keys = jax.random.split(key, cfg.binary_max_steps)
-        # python loop (unrolled in the jit): the weight is scan-carried
-        # data, and make_iter_step closes over it per round
-        for i in range(cfg.binary_max_steps):
-            carry, _ = binary_round(carry, keys[i])
+        # the constraint weight is scan-carried data (make_iter_step just
+        # closes over the traced value), so the binary search scans too —
+        # one round's HLO instead of binary_max_steps unrolled copies
+        carry, _ = jax.lax.scan(
+            binary_round,
+            carry,
+            keys,
+            unroll=cfg.binary_max_steps if cfg.unroll_rounds else 1,
+        )
         _, _, _, best_loss, best_attack = carry
 
         pred = jnp.argmax(model_fn(best_attack), axis=-1)

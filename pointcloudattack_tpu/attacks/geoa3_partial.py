@@ -188,8 +188,12 @@ def build_geoa3_partial_attack(model_fn, cfg: GeoA3PartialConfig):
             jnp.full((b,), 1e10, dtype=jnp.float32),
             jnp.broadcast_to(ori, ori.shape),
         )
-        for i in range(cfg.binary_max_steps):
-            carry, _ = binary_round(carry, jax.random.fold_in(key, i))
+        # same per-round keys as the old unrolled loop (fold_in by index),
+        # but scanned so the HLO carries one round only
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(cfg.binary_max_steps)
+        )
+        carry, _ = jax.lax.scan(binary_round, carry, keys)
         _, _, _, best_loss, best_attack = carry
         pred = jnp.argmax(model_fn(best_attack), axis=-1)
         success = pred == target if cfg.targeted else pred != target

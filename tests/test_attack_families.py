@@ -126,3 +126,29 @@ def test_geoa3_partial_subsample(trained_pointnet):
         jax.random.PRNGKey(1),
     )
     assert np.all(np.isfinite(np.asarray(adv)))
+
+
+def test_geoa3_scan_matches_unroll(trained_pointnet):
+    """Scanned binary-search rounds must be bit-identical to the unrolled
+    form (the lax.scan conversion is a pure compile-time change)."""
+    import dataclasses
+    from pointcloudattack_tpu.attacks.geoa3 import (
+        GeoA3Config,
+        build_geoa3_attack,
+    )
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    data = jnp.asarray(clouds[:2])
+    target = jnp.asarray(labels[:2])
+    key = jax.random.PRNGKey(9)
+
+    cfg = GeoA3Config(binary_max_steps=3, iter_max_steps=15)
+    adv_s, loss_s, _ = build_geoa3_attack(model_fn, cfg)(data, target, key)
+    cfg_u = dataclasses.replace(cfg, unroll_rounds=True)
+    adv_u, loss_u, _ = build_geoa3_attack(model_fn, cfg_u)(
+        data, target, key
+    )
+    np.testing.assert_array_equal(np.asarray(adv_s), np.asarray(adv_u))
+    np.testing.assert_array_equal(np.asarray(loss_s), np.asarray(loss_u))
