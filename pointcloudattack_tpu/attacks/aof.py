@@ -3,8 +3,11 @@
 Behavioral twin of reference attack/AOF/TAOF_attack.py:83-244 (targeted)
 and the inline untargeted loop of attack/AOF/Eval_AOF.py:118-262:
 
-  1. per binary round, eigendecompose the cloud's kNN-Gaussian Laplacian
-     (once — the eigenbasis is frozen for the round);
+  1. per binary round, compute the lowest ``low_pass`` eigenvectors of
+     the cloud's kNN-Gaussian Laplacian (the only part of the spectrum
+     the attack uses, TAOF_attack.py:44-52) — by default via a LOBPCG
+     subspace solve shared across rounds (see AOFConfig.spectral_method /
+     reuse_basis; the reference recomputes a full eigh per round);
   2. split the cloud into low/high-frequency parts; optimize ONLY the
      low-frequency part with a blended loss
          (1-GAMMA) * adv(model(lfc + hfc)) + GAMMA * adv(model(lfc));
@@ -26,8 +29,8 @@ import optax
 
 from pointcloudattack_tpu.constraints.clip import clip_points_linf
 from pointcloudattack_tpu.geometry.spectral import (
-    graph_laplacian,
-    spectral_split,
+    lowpass_basis,
+    lowpass_split,
 )
 from pointcloudattack_tpu.losses.adv import (
     cross_entropy_adv_loss,
@@ -52,6 +55,15 @@ class AOFConfig:
     targeted: bool = False
     adv_func: str = "logits"
     init_noise_scale: float = 1e-7
+    # spectral solver: "auto" = LOBPCG subspace solve when 5*low_pass < N
+    # (pure MXU matmuls), full eigh otherwise; see geometry/spectral.py
+    spectral_method: str = "auto"
+    # compute the eigenbasis once from the CLEAN cloud and share it across
+    # binary rounds.  The reference recomputes per round from the noised
+    # cloud (Eval_AOF.py:141-146), but the rounds differ only by the 1e-7
+    # init jitter, so the bases are identical to float precision; set
+    # False to restore the per-round recompute.
+    reuse_basis: bool = True
 
 
 def build_aof_attack(model_fn, cfg: AOFConfig):
@@ -80,6 +92,14 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
         ori = data
         yt = target if y_truth is None else y_truth
 
+        shared_basis = (
+            lowpass_basis(
+                ori, k=cfg.knn_k, m=cfg.low_pass, method=cfg.spectral_method
+            )[1]
+            if cfg.reuse_basis
+            else None
+        )
+
         def binary_round(carry, k):
             o_bestdist, o_bestattack, o_bestscore, last = carry
             noise = (
@@ -87,8 +107,15 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
                 * cfg.init_noise_scale
             )
             adv = ori + noise
-            _, evecs = graph_laplacian(adv, k=cfg.knn_k)
-            lfc, hfc = spectral_split(adv, evecs, cfg.low_pass)
+            basis = (
+                shared_basis
+                if shared_basis is not None
+                else lowpass_basis(
+                    adv, k=cfg.knn_k, m=cfg.low_pass,
+                    method=cfg.spectral_method,
+                )[1]
+            )
+            lfc, hfc = lowpass_split(adv, basis)
 
             def update_best(best, full_logits, lfc_logits, adv_eval):
                 """Best tracking per the reference success rules
@@ -142,7 +169,7 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
                 # BOTH components are refreshed every iteration
                 # (reference TAOF_attack.py:163-172 updates hfc.data too)
                 adv = clip_points_linf(lfc + hfc, ori, cfg.budget)
-                lfc_new, hfc_new = spectral_split(adv, evecs, cfg.low_pass)
+                lfc_new, hfc_new = lowpass_split(adv, basis)
                 lfc = jax.lax.stop_gradient(lfc_new)
                 hfc = jax.lax.stop_gradient(hfc_new)
 

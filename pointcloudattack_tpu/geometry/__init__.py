@@ -5,6 +5,9 @@ from pointcloudattack_tpu.geometry.normals import (
 )
 from pointcloudattack_tpu.geometry.spectral import (
     graph_laplacian,
+    laplacian_matrix,
+    lowpass_basis,
+    lowpass_split,
     spectral_split,
     spectral_project,
 )
@@ -19,6 +22,9 @@ __all__ = [
     "estimate_normal_via_ori_normal",
     "estimate_perpendicular_jitter",
     "graph_laplacian",
+    "laplacian_matrix",
+    "lowpass_basis",
+    "lowpass_split",
     "spectral_split",
     "spectral_project",
     "spin_axis_matrix",

@@ -152,3 +152,33 @@ def test_geoa3_scan_matches_unroll(trained_pointnet):
     )
     np.testing.assert_array_equal(np.asarray(adv_s), np.asarray(adv_u))
     np.testing.assert_array_equal(np.asarray(loss_s), np.asarray(loss_u))
+
+
+def test_aof_fast_spectral_matches_dense(trained_pointnet):
+    """LOBPCG + shared-basis AOF must match the per-round dense-eigh
+    path on ASR (the round-1 behavior)."""
+    import dataclasses
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    base = AOFConfig(
+        binary_step=2, num_iter=40, low_pass=16, knn_k=10,
+        kappa=0.0, budget=0.45,
+    )
+    data = jnp.asarray(clouds[:4])
+    target = jnp.asarray(labels[:4])
+    key = jax.random.PRNGKey(2)
+
+    slow = dataclasses.replace(
+        base, spectral_method="dense", reuse_basis=False
+    )
+    adv_s, dist_s, succ_s = build_aof_attack(model_fn, slow)(
+        data, target, key
+    )
+    fast = dataclasses.replace(base, spectral_method="auto",
+                               reuse_basis=True)
+    adv_f, dist_f, succ_f = build_aof_attack(model_fn, fast)(
+        data, target, key
+    )
+    assert np.asarray(succ_f).mean() >= np.asarray(succ_s).mean() - 0.25
+    assert np.all(np.isfinite(np.asarray(adv_f)))

@@ -111,3 +111,58 @@ class TestTangent:
         np.testing.assert_allclose(
             np.asarray(back), np.asarray(pts), atol=1e-4
         )
+
+
+class TestLowpassBasis:
+    """LOBPCG subspace solve vs the dense eigh path."""
+
+    def _cloud(self, b=2, n=256):
+        rng = np.random.RandomState(3)
+        return jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+
+    def test_dense_matches_full_eigh_split(self):
+        pc = self._cloud()
+        _, evecs = geometry.graph_laplacian(pc, k=10)
+        lfc_full, hfc_full = geometry.spectral_split(pc, evecs, low_pass=24)
+        _, basis = geometry.lowpass_basis(pc, k=10, m=24, method="dense")
+        lfc, hfc = geometry.lowpass_split(pc, basis)
+        np.testing.assert_allclose(
+            np.asarray(lfc), np.asarray(lfc_full), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(hfc), np.asarray(hfc_full), atol=1e-4
+        )
+
+    def test_lobpcg_matches_dense_subspace(self):
+        pc = self._cloud()
+        m = 24
+        evals_d, basis_d = geometry.lowpass_basis(
+            pc, k=10, m=m, method="dense"
+        )
+        evals_l, basis_l = geometry.lowpass_basis(
+            pc, k=10, m=m, method="lobpcg"
+        )
+        # eigenvalues agree (sorted; lobpcg returns ascending via shift)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(evals_l), axis=-1),
+            np.asarray(evals_d),
+            atol=5e-3,
+        )
+        # the PROJECTION agrees (individual eigenvectors are only defined
+        # up to sign/rotation within degenerate clusters)
+        lfc_d, _ = geometry.lowpass_split(pc, basis_d)
+        lfc_l, _ = geometry.lowpass_split(pc, basis_l)
+        scale = np.abs(np.asarray(lfc_d)).max()
+        np.testing.assert_allclose(
+            np.asarray(lfc_l), np.asarray(lfc_d), atol=0.02 * scale
+        )
+
+    def test_auto_dispatch(self):
+        pc = self._cloud(n=64)
+        # 5m >= n -> dense fallback must kick in and still work
+        _, basis = geometry.lowpass_basis(pc, k=10, m=16, method="auto")
+        assert basis.shape == (2, 64, 16)
+        lfc, hfc = geometry.lowpass_split(pc, basis)
+        np.testing.assert_allclose(
+            np.asarray(lfc + hfc), np.asarray(pc), atol=1e-5
+        )
