@@ -7,10 +7,12 @@ Two flavours exist in the reference and both are preserved:
   * ``knn_points``: pytorch3d-compatible API returning (dists, idx) of x's
     neighbours in y (reference attack/GeoA3/knn_utils.py:22-55).
 
-Implementation: one MXU pass for the distance matrix + ``lax.top_k`` on the
-negated distances.  top_k on TPU runs as a fused sort over 128-wide lanes;
-for the N<=10k, k<=64 regimes of this workload it is bandwidth-, not
-compute-, bound and needs no custom kernel.
+Implementation: on TPU, a fused Pallas kernel (MXU distance tile +
+iterative VPU argmin selection, VMEM-resident — see
+ops/pallas/knn_kernel.py) replaces the ``lax.top_k``-over-[B, N, N] path,
+which pays ~9 ms per DGCNN stage in the sort plus the HBM round-trip of
+the distance matrix.  Elsewhere (and for shapes outside the kernel's
+regime) the XLA path runs; both produce identical indices.
 """
 
 from __future__ import annotations
@@ -31,6 +33,14 @@ def knn(x: jax.Array, k: int) -> jax.Array:
     Returns:
       [B, N, k] int32 indices (neighbour 0 is the point itself).
     """
+    from pointcloudattack_tpu.ops.pallas.knn_kernel import (
+        knn_pallas,
+        use_knn_kernel,
+    )
+
+    if use_knn_kernel(x.shape[1], k):
+        # indices carry no tangent; stop-gradient keeps AD off the kernel
+        return knn_pallas(jax.lax.stop_gradient(x), k)
     neg = -self_sqdist(x)
     _, idx = jax.lax.top_k(neg, k)
     return idx

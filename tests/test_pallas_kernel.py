@@ -108,3 +108,63 @@ def test_fps_kernel_under_grad(monkeypatch):
     g = jax.grad(loss)(x)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestKnnKernel:
+    """Fused distance+top-k kernel vs the XLA knn path."""
+
+    def _xla_knn(self, x, k):
+        from pointcloudattack_tpu.ops.pairwise import self_sqdist
+
+        return jax.lax.top_k(-self_sqdist(x), k)[1]
+
+    def test_interpret_matches_xla(self):
+        from pointcloudattack_tpu.ops.pallas.knn_kernel import knn_pallas
+
+        rng = np.random.RandomState(0)
+        for (b, n, c, k) in [(2, 128, 3, 20), (2, 256, 64, 16),
+                             (1, 96, 7, 5)]:
+            x = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+            want = np.asarray(self._xla_knn(x, k))
+            got = np.asarray(knn_pallas(x, k, interpret=True))
+            np.testing.assert_array_equal(got, want)
+
+    def test_interpret_tie_breaking(self):
+        """Duplicate points: ties must resolve by ascending index like
+        lax.top_k's stable sort."""
+        from pointcloudattack_tpu.ops.pallas.knn_kernel import knn_pallas
+
+        rng = np.random.RandomState(1)
+        x = np.zeros((1, 64, 3), np.float32)
+        x[0, :8] = 1.0
+        x[0, 8:] = rng.randn(56, 3)
+        x = jnp.asarray(x)
+        np.testing.assert_array_equal(
+            np.asarray(knn_pallas(x, 10, interpret=True)),
+            np.asarray(self._xla_knn(x, 10)),
+        )
+
+    def test_knn_wrapper_under_grad(self, monkeypatch):
+        """When the kernel is selected, gradients through gather(knn(x))
+        must still flow (idx is stop-gradiented into the kernel)."""
+        import pointcloudattack_tpu.ops.pallas.knn_kernel as KK
+        from pointcloudattack_tpu.ops.knn import knn
+        from pointcloudattack_tpu.ops.gather import index_points
+
+        orig = KK.knn_pallas
+        monkeypatch.setattr(KK, "use_knn_kernel", lambda n, k: True)
+        monkeypatch.setattr(
+            KK,
+            "knn_pallas",
+            lambda x, k, **kw: orig(x, k, interpret=True),
+        )
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+
+        def f(a):
+            idx = knn(a, 8)
+            return jnp.sum(index_points(a, idx) ** 2)
+
+        g = jax.grad(f)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.abs(np.asarray(g)).max() > 0
