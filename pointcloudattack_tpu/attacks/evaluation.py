@@ -45,9 +45,12 @@ def with_defense(
         )
     if defense == "dupnet":
         dup = DUPNet(npoint=npoint, up_ratio=4)
-        variables = dup_variables or dup.init(
-            key or jax.random.PRNGKey(0)
-        )
+        if dup_variables is not None:
+            variables = dup_variables
+        else:
+            variables = dup.init(
+                key if key is not None else jax.random.PRNGKey(0)
+            )
         return lambda x: model_fn(dup(variables, x))
     raise ValueError(f"unknown defense {defense!r}")
 

@@ -51,7 +51,13 @@ def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, start_ref, out_ref):
             diff = row - cen
             d = d + diff * diff
         dist = jnp.minimum(dist, d)
-        farthest = jnp.argmax(dist, axis=1, keepdims=True).astype(jnp.int32)
+        # first-index argmax via min-over-masked-iota: same tie-breaking
+        # as jnp.argmax, but avoids a Mosaic f32->i32 materialization bug
+        # that rejects argmax over lane dims <= 128 on v5e
+        m = jnp.max(dist, axis=1, keepdims=True)
+        farthest = jnp.min(
+            jnp.where(dist == m, col, n), axis=1, keepdims=True
+        )
         return dist, farthest
 
     init = (

@@ -93,12 +93,13 @@ def test_attack_top1_error(trained_run):
     ])
 
 
-def test_attack_with_defense(trained_run):
+@pytest.mark.parametrize("defense", ["sor", "dupnet"])
+def test_attack_with_defense(trained_run, defense):
     out, ckpt = trained_run
     main([
         "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
         "--num_points", "64", "--num_classes", "3",
-        "--checkpoint", ckpt, "--output_dir", out, "--defense", "sor",
+        "--checkpoint", ckpt, "--output_dir", out, "--defense", defense,
         "--binary_step", "1", "--num_iter", "20", "--kappa", "0",
         "--budget", "0.45", "--num_samples", "2",
     ])
