@@ -1,12 +1,20 @@
 """Headline benchmark: adversarial clouds/sec/chip for 200-step CW on
-PointNet (1024 points), the BASELINE.json north-star config.
+PointNet (1024 points), the BASELINE.json north-star config — plus MFU
+and per-family throughput entries (CW / AOF / SIadv-iFGM).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "mfu": ..., "families": {...}}
 
 ``vs_baseline`` is measured throughput / 1.0 (the BASELINE.json target of
 >= 1 adv cloud/sec/chip for the same config — the reference publishes no
 numbers of its own, see BASELINE.md).
+
+Timing methodology: on the axon TPU tunnel ``jax.block_until_ready`` does
+NOT actually block, so every measurement enqueues ``reps`` runs with
+distinct keys and then fetches a small leaf of the LAST result to the
+host — device programs execute in order, so the fetch fences the whole
+batch (one ~25 ms fetch amortized over reps).
 """
 
 import json
@@ -27,8 +35,30 @@ BATCH = 64  # throughput peak on v5e (see batch sweep: 64 > 32/128/256)
 NUM_ITER = 200
 BINARY_STEPS = 1  # 200 optimization steps total, per the baseline config
 
+# v5e bf16 MXU peak; f32/HIGHEST matmuls run as multi-pass emulation, so
+# MFU computed against this peak is conservative
+PEAK_FLOPS = 197e12
 
-def main():
+
+def _time_enqueued(run, fetch, reps=3):
+    """Mean seconds/run: enqueue reps runs, fence with one host fetch."""
+    np.asarray(fetch(run(0)))  # compile + warm
+    t0 = time.perf_counter()
+    outs = [run(1 + i) for i in range(reps)]
+    np.asarray(fetch(outs[-1]))
+    return (time.perf_counter() - t0) / reps
+
+
+def _mfu(jitted, dt, *args):
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return round(float(ca["flops"]) / dt / PEAK_FLOPS, 4)
+    except Exception:
+        return None
+
+
+def bench_cw():
     clouds, labels = make_synthetic_clouds(
         NUM_CLASSES, max(1, BATCH // NUM_CLASSES + 1), NUM_POINTS, seed=0
     )
@@ -46,26 +76,89 @@ def main():
     )
     attack = build_cw_attack(model_fn, cfg)
 
-    key = jax.random.PRNGKey(1)
-    # compile + warm up
-    res = attack(data, target, key)
-    jax.block_until_ready(res.best_attack)
+    dt = _time_enqueued(
+        lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
+        lambda res: res.best_dist,
+    )
+    return {
+        "clouds_per_sec": round(BATCH / dt, 3),
+        "sec_per_batch": round(dt, 4),
+        "mfu": _mfu(attack, dt, data, target, jax.random.PRNGKey(0)),
+    }
 
-    reps = 3
-    t0 = time.perf_counter()
-    for i in range(reps):
-        res = attack(data, target, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(res.best_attack)
-    dt = (time.perf_counter() - t0) / reps
 
-    clouds_per_sec = BATCH / dt
+def bench_aof():
+    from pointcloudattack_tpu.attacks.aof import AOFConfig, build_aof_attack
+
+    b = 8
+    clouds, labels = make_synthetic_clouds(8, 1, NUM_POINTS, seed=1)
+    data = jnp.asarray(clouds[:b])
+    target = jnp.asarray(labels[:b])
+    model = models.make_model("PointNet", NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=b
+    )
+    model_fn = make_model_fn(model, variables)
+    cfg = AOFConfig(binary_step=2, num_iter=100, kappa=0.0, budget=0.45)
+    attack = build_aof_attack(model_fn, cfg)
+    dt = _time_enqueued(
+        lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
+        lambda out: out[1],
+    )
+    return {
+        "clouds_per_sec": round(b / dt, 3),
+        "sec_per_batch": round(dt, 4),
+        "mfu": _mfu(attack, dt, data, target, jax.random.PRNGKey(0)),
+    }
+
+
+def bench_si_ifgm():
+    from pointcloudattack_tpu.attacks.siadv import (
+        SIAdvConfig,
+        build_si_ifgm,
+    )
+
+    b = 64
+    clouds, labels = make_synthetic_clouds(8, b // 8, NUM_POINTS, seed=2)
+    data = jnp.asarray(clouds[:b])
+    target = jnp.asarray(labels[:b])
+    model = models.make_model("PointNet", NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=b
+    )
+    model_fn = make_model_fn(model, variables)
+    cfg = SIAdvConfig(eps=0.18, step_size=0.007, max_steps=50)
+    attack = build_si_ifgm(model_fn, model_fn, cfg)
+    dt = _time_enqueued(
+        lambda i: attack(data + 0e0 * i, target), lambda out: out[1]
+    )
+    return {
+        "clouds_per_sec": round(b / dt, 3),
+        "sec_per_batch": round(dt, 4),
+        "mfu": _mfu(attack, dt, data, target),
+    }
+
+
+def main():
+    cw = bench_cw()
+    families = {"cw": cw}
+    for name, fn in (("aof", bench_aof), ("si_ifgm", bench_si_ifgm)):
+        try:
+            families[name] = fn()
+        except Exception as e:  # keep the headline alive on any breakage
+            families[name] = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
-                "metric": "adv_clouds_per_sec_per_chip_cw200_pointnet_1024",
-                "value": round(clouds_per_sec, 3),
+                "metric": (
+                    "adv_clouds_per_sec_per_chip_cw200_pointnet_1024"
+                ),
+                "value": cw["clouds_per_sec"],
                 "unit": "clouds/s",
-                "vs_baseline": round(clouds_per_sec / 1.0, 3),
+                "vs_baseline": round(cw["clouds_per_sec"] / 1.0, 3),
+                "mfu": cw["mfu"],
+                "families": families,
             }
         )
     )

@@ -48,7 +48,8 @@ class SIAdvConfig:
     step_size: float = 0.07  # reference default (Eval_SIadv.py:192)
     max_steps: int = 50  # iFGM iterations
     normal_k: int = 20
-    max_queries: int = 3 * 1024  # SimBA basis size bound
+    max_queries: int = 3 * 1024  # SimBA basis elements: ONE pass over
+    # the shuffled 3N basis, like the reference (SIadv_attack.py:371-381)
     noise_std: float = 0.1  # SimBA++ step noise
     top5_attack: bool = False  # success only once target leaves the top-5
     # (reference SIadv_attack.py:156-158, 335-341)

@@ -1,3 +1,4 @@
+from pointcloudattack_tpu.geometry.eig3 import sym_eigh_3x3
 from pointcloudattack_tpu.geometry.normals import (
     estimate_normal,
     estimate_normal_via_ori_normal,
@@ -21,6 +22,7 @@ __all__ = [
     "estimate_normal",
     "estimate_normal_via_ori_normal",
     "estimate_perpendicular_jitter",
+    "sym_eigh_3x3",
     "graph_laplacian",
     "laplacian_matrix",
     "lowpass_basis",

@@ -2,8 +2,10 @@
 
 TPU-native re-design of reference attack/GeoA3/utility.py:43-152: the
 reference loops over the batch and calls ``torch.symeig`` per cloud; here
-the [B, N, 3, 3] covariance stack goes through one batched ``eigh`` —
-trivially parallel on device.  SIadv's open3d-KD-tree normals
+the [B, N, 3, 3] covariance stack goes through the closed-form 3x3
+eigensolver (geometry/eig3.py — pure VPU math; the general batched
+``jnp.linalg.eigh`` costs ~250 ms at [64, 1024] on v5e, and SIadv
+recomputes normals every iFGM step).  SIadv's open3d-KD-tree normals
 (reference attack/SIadv/SIadv_attack.py:205-214) are replaced by the same
 kNN-PCA estimator (statistically equivalent; no host round-trip).
 """
@@ -13,8 +15,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pointcloudattack_tpu.geometry.eig3 import sym_eigh_3x3
 from pointcloudattack_tpu.ops.gather import index_points
-from pointcloudattack_tpu.ops.knn import knn_points
+from pointcloudattack_tpu.ops.knn import knn, knn_points
 
 
 def _local_cov(pc: jax.Array, k: int):
@@ -22,7 +25,9 @@ def _local_cov(pc: jax.Array, k: int):
 
     Returns (cov [B, N, 3, 3], centered neighbour sum [B, N, 3]).
     """
-    _, idx = knn_points(pc, pc, k=k, exclude_self=True)
+    # self-kNN: route through ops.knn.knn (Pallas kernel on TPU) and drop
+    # the self match — identical to knn_points(pc, pc, exclude_self=True)
+    idx = knn(pc, k + 1)[..., 1:]
     nbrs = index_points(pc, idx)  # [B, N, k, 3]
     mean = jnp.mean(nbrs, axis=2, keepdims=True)
     centered = nbrs - mean
@@ -54,7 +59,7 @@ def estimate_normal(pc: jax.Array, k: int = 3) -> jax.Array:
     """
     cov, nbr_sum = _local_cov(pc, k)
     # eigh returns ascending eigenvalues -> eigenvector 0 is the normal
-    _, vecs = jnp.linalg.eigh(cov)
+    _, vecs = sym_eigh_3x3(cov)
     normal = vecs[..., :, 0]  # [B, N, 3]
     sign = -jnp.sign(jnp.sum(normal * nbr_sum, axis=-1, keepdims=True))
     # exactly-balanced neighbourhoods give sign(0) = 0, which would zero
@@ -94,7 +99,7 @@ def estimate_perpendicular_jitter(
     (reference utility.py:119-152).
     """
     cov, _ = _local_cov(pc, k)
-    _, vecs = jnp.linalg.eigh(cov)  # ascending
+    _, vecs = sym_eigh_3x3(cov)  # ascending
     v1 = vecs[..., :, 2]  # largest
     v2 = vecs[..., :, 1]  # second largest
     b, n, _ = pc.shape

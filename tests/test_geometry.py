@@ -166,3 +166,52 @@ class TestLowpassBasis:
         np.testing.assert_allclose(
             np.asarray(lfc + hfc), np.asarray(pc), atol=1e-5
         )
+
+
+class TestSymEigh3x3:
+    """Closed-form 3x3 eigensolver vs jnp.linalg.eigh."""
+
+    def test_random_covariances(self):
+        rng = np.random.RandomState(7)
+        x = rng.randn(2000, 8, 3).astype(np.float32) * 0.05
+        xc = x - x.mean(1, keepdims=True)
+        a = np.einsum("mkc,mkd->mcd", xc, xc) / 7
+        evals, evecs = geometry.sym_eigh_3x3(jnp.asarray(a))
+        ref_vals, ref_vecs = np.linalg.eigh(a)
+        np.testing.assert_allclose(
+            np.asarray(evals), ref_vals, atol=1e-7
+        )
+        cos = np.abs(
+            np.sum(np.asarray(evecs) * ref_vecs, axis=-2)
+        )  # per-column alignment
+        assert cos.min() > 0.999
+        g = np.einsum("mij,mik->mjk", np.asarray(evecs), np.asarray(evecs))
+        assert np.abs(g - np.eye(3)).max() < 1e-5
+
+    def test_degenerate(self):
+        # isotropic and rank-1 matrices still give an orthonormal basis
+        iso = np.broadcast_to(
+            np.eye(3, dtype=np.float32) * 0.01, (4, 3, 3)
+        ).copy()
+        v = np.float32([1.0, 2.0, 3.0])
+        r1 = (np.outer(v, v) * 0.01)[None].repeat(2, 0).astype(np.float32)
+        for a in (iso, r1):
+            evals, evecs = geometry.sym_eigh_3x3(jnp.asarray(a))
+            evecs = np.asarray(evecs)
+            g = np.einsum("mij,mik->mjk", evecs, evecs)
+            assert np.abs(g - np.eye(3)).max() < 1e-5
+            assert np.all(np.diff(np.asarray(evals), axis=-1) >= -1e-6)
+
+    def test_normals_match_dense_eigh(self):
+        """estimate_normal with the analytic solver must match the
+        jnp.linalg.eigh version up to sign (same smallest eigenvector)."""
+        from pointcloudattack_tpu.geometry.normals import _local_cov
+
+        rng = np.random.RandomState(8)
+        pc = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+        normals = np.asarray(geometry.estimate_normal(pc, k=8))
+        cov, _ = _local_cov(pc, 8)
+        _, ref_vecs = jnp.linalg.eigh(cov)
+        ref_normal = np.asarray(ref_vecs[..., :, 0])
+        cos = np.abs(np.sum(normals * ref_normal, axis=-1))
+        assert np.mean(cos > 0.999) > 0.99

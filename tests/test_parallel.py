@@ -87,3 +87,118 @@ def test_multihost_helpers_single_host():
     x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
     gx = mh.host_local_batch_to_global(mesh, x)
     np.testing.assert_array_equal(np.asarray(gx), x)
+
+
+def test_sharded_aof_matches_single(trained_pointnet):
+    """Scan-heavy spectral family under batch sharding (VERDICT r1 #9)."""
+    from pointcloudattack_tpu.attacks.aof import AOFConfig, build_aof_attack
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = AOFConfig(
+        binary_step=1, num_iter=30, low_pass=16, knn_k=10,
+        kappa=0.0, budget=0.45,
+    )
+    attack = build_aof_attack(model_fn, cfg)
+    data = clouds[:8].astype(np.float32)
+    target = labels[:8].astype(np.int64)
+    key = jax.random.PRNGKey(7)
+
+    adv_s, dist_s, succ_s = attack(
+        jnp.asarray(data), jnp.asarray(target), key
+    )
+    adv_m, dist_m, succ_m = run_sharded_attack(attack, data, target, key)
+    np.testing.assert_allclose(
+        np.asarray(dist_s), dist_m, rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(succ_s), succ_m)
+
+
+def test_sharded_si_query_matches_single(trained_pointnet):
+    """while_loop-driven black-box family under batch sharding: the
+    global any() stop condition must behave identically when the batch
+    is spread across devices."""
+    from pointcloudattack_tpu.attacks import siadv as S
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = S.SIAdvConfig(eps=0.45, step_size=0.2, max_queries=96)
+    attack = S.build_si_query_attack(model_fn, model_fn, cfg)
+
+    data = clouds[:8].astype(np.float32)
+    target = labels[:8].astype(np.int64)
+
+    adv_s, pred_s, succ_s, q_s = attack(
+        jnp.asarray(data), jnp.asarray(target)
+    )
+    adv_m, pred_m, succ_m, q_m = run_sharded_attack(
+        lambda d, t, k: attack(d, t), data, target, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_array_equal(np.asarray(succ_s), succ_m)
+    np.testing.assert_array_equal(np.asarray(q_s), q_m)
+    np.testing.assert_allclose(np.asarray(adv_s), adv_m, atol=1e-5)
+
+
+def test_train_step_gradient_psum_equivalence():
+    """DP gradients on the 8-device mesh == single-device gradients:
+    XLA's sharding-derived psum must reproduce the global batch mean.
+
+    Compares raw gradients (and loss/batch-stats), not post-Adam params:
+    Adam's first step is ~lr*sign(g), which amplifies reduction-order
+    noise on near-zero gradients into full +-lr flips."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pointcloudattack_tpu import models
+    from pointcloudattack_tpu.data.synthetic import make_synthetic_clouds
+    from pointcloudattack_tpu.train.trainer import nll_loss
+
+    clouds, labels = make_synthetic_clouds(3, 8, 32, seed=3)
+    x = jnp.asarray(clouds[:16])
+    y = jnp.asarray(labels[:16].astype(np.int32))
+    model = models.make_model("PointNet", 3)
+    variables = models.init_model(model, jax.random.PRNGKey(0), 32, 2)
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def loss_and_grads(params, bs, x, y, rng):
+        def loss_fn(p):
+            (out, _), state = model.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            return nll_loss(out, y), state["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return loss, grads, new_bs
+
+    l1, g1, bs1 = loss_and_grads(
+        variables["params"], variables["batch_stats"], x, y, rng
+    )
+
+    mesh = pmesh.make_mesh()
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    with mesh:
+        l8, g8, bs8 = loss_and_grads(
+            jax.device_put(variables["params"], repl),
+            jax.device_put(variables["batch_stats"], repl),
+            jax.device_put(x, data_sh),
+            jax.device_put(y, data_sh),
+            rng,
+        )
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=2e-5 * scale + 5e-7)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(bs1), jax.tree_util.tree_leaves(bs8)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
