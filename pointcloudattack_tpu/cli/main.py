@@ -657,6 +657,18 @@ def cmd_test_advdata(args):
     print(f"{correct}/{len(files)} recovered to true label")
 
 
+def cmd_view(args):
+    """Interactive viewer on a saved cloud (reference show3d_balls.py)."""
+    from pointcloudattack_tpu.viz.viewer import showpoints
+
+    pts = np.loadtxt(args.cloud).astype(np.float32)[:, :3]
+    cmds = list(args.cmds) if args.cmds else None
+    showpoints(
+        pts, cmds=cmds, out_path=args.out or "show3d.ppm",
+        size=args.size,
+    )
+
+
 def cmd_make_splits(args):
     from pointcloudattack_tpu.data.csvsplit import generate_split_csvs
 
@@ -745,6 +757,14 @@ def build_parser():
     p = add_common_args(sub.add_parser("test-advdata"))
     p.add_argument("--adv_dir", required=True)
     p.set_defaults(fn=cmd_test_advdata)
+
+    p = sub.add_parser("view")
+    p.add_argument("cloud", help="N x 3(+) txt cloud (e.g. an AdvData dump)")
+    p.add_argument("--cmds", default="",
+                   help="scripted keys (e.g. 'nnjs q'); empty = stdin")
+    p.add_argument("--out", default="", help="path for the 's' key frame")
+    p.add_argument("--size", type=int, default=256)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("make-splits")
     p.add_argument("--data_root", required=True)

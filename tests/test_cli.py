@@ -196,3 +196,11 @@ def test_attack_geoa3_partial_cli(trained_run):
         open(os.path.join(out, "attack_geoa3-partial_summary.json"))
     )
     assert summary["family"] == "geoa3-partial"
+
+
+def test_view_cli(tmp_path):
+    cloud = str(tmp_path / "cloud.txt")
+    np.savetxt(cloud, np.random.RandomState(0).randn(128, 3))
+    frame = str(tmp_path / "f.ppm")
+    main(["view", cloud, "--cmds", "nsq", "--out", frame, "--size", "128"])
+    assert os.path.exists(frame)

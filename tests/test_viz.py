@@ -81,3 +81,53 @@ def test_inspect_helpers(trained_pointnet, tmp_path):
         clouds[0], clouds[0] + 0.05, size=64
     )
     assert img.shape == (64, 64, 3)
+
+
+class TestInteractiveViewer:
+    """Headless twin of reference show3d_balls.showpoints (:60-164)."""
+
+    def _cloud(self, n=200):
+        return np.random.RandomState(0).randn(n, 3).astype(np.float32)
+
+    def test_scripted_session_state_transitions(self, tmp_path):
+        from pointcloudattack_tpu.viz.viewer import showpoints
+
+        out = str(tmp_path / "frame.ppm")
+        # zoom in twice, rotate, switch to pred colors, save, quit
+        state = showpoints(
+            self._cloud(),
+            c_pred=np.tile([255.0, 0.0, 0.0], (200, 1)),
+            cmds=list("nnjjps q".replace(" ", "")),
+            out_path=out,
+            display=False,
+        )
+        assert state.quit
+        assert abs(state.zoom - 1.1**2) < 1e-9
+        assert state.color_mode == "pred"
+        import os
+
+        assert os.path.exists(out)
+        with open(out, "rb") as f:
+            assert f.readline().startswith(b"P6")
+
+    def test_reset_key(self):
+        from pointcloudattack_tpu.viz.viewer import (
+            ViewerState,
+            apply_command,
+        )
+
+        s = ViewerState()
+        for c in "nnjik":
+            s = apply_command(s, c)
+        s = apply_command(s, "r")
+        assert s.zoom == 1.0 and s.yaw == 0.0 and s.pitch == 0.0
+
+    def test_ansi_frame_shape(self):
+        from pointcloudattack_tpu.viz.viewer import ansi_frame
+        from pointcloudattack_tpu.viz.render import render_cloud
+
+        img = render_cloud(self._cloud(), size=128)
+        art = ansi_frame(img, cols=32)
+        lines = art.split("\n")
+        assert len(lines) == 16  # 32 rows / 2 per half-block line
+        assert "▀" in lines[0]
