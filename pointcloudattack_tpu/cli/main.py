@@ -81,7 +81,8 @@ def _build_model(cfg: RunConfig, num_classes: int):
 
     kw = {}
     if cfg.model == "DGCNN":
-        kw = {"k": cfg.k, "emb_dims": cfg.emb_dims, "dropout": cfg.dropout}
+        kw = {"k": cfg.k, "emb_dims": cfg.emb_dims, "dropout": cfg.dropout,
+              "gather_mode": cfg.gather_mode}
     if cfg.model == "PointNet":
         kw = {"feature_transform": cfg.feature_transform}
     model = models.make_model(cfg.model, num_classes, **kw)

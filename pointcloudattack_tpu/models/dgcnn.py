@@ -18,29 +18,46 @@ from pointcloudattack_tpu.ops.knn import knn
 
 
 def graph_feature(
-    x: jax.Array, k: int, fast_gather: bool = False
+    x: jax.Array, k: int, gather_mode: str = "exact"
 ) -> jax.Array:
     """Edge features of the kNN graph: [B, N, k, 2C].
 
     Reference model/dgcnn.py:203-227 (concat of [neighbour - center,
     center]).
 
-    fast_gather=True routes the neighbour gather through a bf16 one-hot
-    MXU matmul — ~1.4x faster than the XLA gather on v5e at the cost of
-    bf16-rounding the gathered features (opt in for throughput runs).
+    gather_mode picks how neighbour features are gathered (the gather is
+    ~6 ms/stage at [32, 1024, 20] on v5e — the dominant EdgeConv cost
+    after the Pallas kNN kernel):
+      * "exact": XLA gather, bitwise-faithful (default);
+      * "hilo": one-hot MXU matmul with the features split into two
+        bf16 limbs (hi = bf16(x), lo = bf16(x - hi)) — ~2x faster,
+        max observed error 3e-5 on unit-scale clouds;
+      * "bf16": single-limb one-hot matmul (round-1 fast_gather) —
+        fastest, rounds features to bf16 (~4e-3 relative).
     """
     idx = knn(x, k)  # [B, N, k], self included as in the reference
-    if fast_gather:
+    if gather_mode in ("hilo", "bf16"):
         n = x.shape[1]
         onehot = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)
+        hi = x.astype(jnp.bfloat16)
         nbr = jnp.einsum(
             "bnkm,bmc->bnkc",
             onehot,
-            x.astype(jnp.bfloat16),
+            hi,
             preferred_element_type=jnp.float32,
         )
-    else:
+        if gather_mode == "hilo":
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            nbr = nbr + jnp.einsum(
+                "bnkm,bmc->bnkc",
+                onehot,
+                lo,
+                preferred_element_type=jnp.float32,
+            )
+    elif gather_mode == "exact":
         nbr = index_points(x, idx)  # [B, N, k, C]
+    else:
+        raise ValueError(f"unknown gather_mode {gather_mode!r}")
     ctr = jnp.broadcast_to(x[:, :, None, :], nbr.shape)
     return jnp.concatenate([nbr - ctr, ctr], axis=-1)
 
@@ -50,11 +67,11 @@ class EdgeConv(nn.Module):
 
     features: int
     k: int
-    fast_gather: bool = False
+    gather_mode: str = "exact"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        e = graph_feature(x, self.k, self.fast_gather)  # [B, N, k, 2C]
+        e = graph_feature(x, self.k, self.gather_mode)  # [B, N, k, 2C]
         h = nn.Dense(self.features, use_bias=False)(e)
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5
@@ -74,16 +91,16 @@ class DGCNN(nn.Module):
     k: int = 20
     emb_dims: int = 1024
     dropout: float = 0.5
-    fast_gather: bool = False  # bf16 one-hot MXU gathers (see graph_feature)
+    gather_mode: str = "exact"  # "exact" | "hilo" | "bf16" (graph_feature)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         # x: [B, N, 3]
-        fg = self.fast_gather
-        x1 = EdgeConv(64, self.k, fg, name="conv1")(x, train=train)
-        x2 = EdgeConv(64, self.k, fg, name="conv2")(x1, train=train)
-        x3 = EdgeConv(128, self.k, fg, name="conv3")(x2, train=train)
-        x4 = EdgeConv(256, self.k, fg, name="conv4")(x3, train=train)
+        gm = self.gather_mode
+        x1 = EdgeConv(64, self.k, gm, name="conv1")(x, train=train)
+        x2 = EdgeConv(64, self.k, gm, name="conv2")(x1, train=train)
+        x3 = EdgeConv(128, self.k, gm, name="conv3")(x2, train=train)
+        x4 = EdgeConv(256, self.k, gm, name="conv4")(x3, train=train)
         cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 512]
 
         h = nn.Dense(self.emb_dims, use_bias=False, name="conv5")(cat)

@@ -28,6 +28,7 @@ class RunConfig:
     k: int = 20
     emb_dims: int = 1024
     dropout: float = 0.5
+    gather_mode: str = "exact"  # DGCNN: exact | hilo | bf16
     feature_transform: bool = False
 
 
@@ -52,6 +53,8 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--k", type=int, default=d.k)
     parser.add_argument("--emb_dims", type=int, default=d.emb_dims)
     parser.add_argument("--dropout", type=float, default=d.dropout)
+    parser.add_argument("--gather_mode", default=d.gather_mode,
+                        help="DGCNN neighbour gather: exact | hilo | bf16")
     parser.add_argument("--feature_transform", action="store_true")
     return parser
 

@@ -107,3 +107,24 @@ def test_train_mode_updates_batch_stats():
         for a, b in zip(old, new)
     )
     assert changed
+
+
+def test_dgcnn_gather_modes_agree():
+    """hilo (two bf16 limbs) must track the exact gather closely; bf16
+    (one limb) more loosely — both stay valid log-prob distributions."""
+    import jax
+    import jax.numpy as jnp
+    from pointcloudattack_tpu import models
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    outs = {}
+    for mode in ("exact", "hilo", "bf16"):
+        model = models.make_model(
+            "DGCNN", 6, emb_dims=64, gather_mode=mode
+        )
+        variables = models.init_model(model, jax.random.PRNGKey(0), 128, 1)
+        out, _ = model.apply(variables, x, train=False)
+        outs[mode] = np.asarray(out)
+    np.testing.assert_allclose(outs["hilo"], outs["exact"], atol=2e-3)
+    np.testing.assert_allclose(outs["bf16"], outs["exact"], atol=0.1)
