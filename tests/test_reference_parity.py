@@ -353,3 +353,81 @@ class TestCWEndToEnd:
         assert abs(our_mean - ref_mean) <= 0.2 * max(ref_mean, 1e-6), (
             f"mean best-dist ref={ref_mean:.4f} ours={our_mean:.4f}"
         )
+
+
+class TestKNNEndToEnd:
+    """Reference CWKNN loop (attack/KNN/KNN_attack.py:56-246) vs
+    attacks.knn on the same exported victim: second attack family with
+    measured (not asserted) reference parity."""
+
+    N_SAMPLES = 5
+    NUM_ITER = 80
+    BUDGET = 0.45
+
+    def test_knn_asr_parity(self, cpu_cuda, trained_pointnet):
+        from model.pointnet import PointNetCls
+
+        model, variables, clouds, labels = trained_pointnet
+        clouds = np.asarray(clouds, dtype=np.float32)
+        labels = np.asarray(labels)
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+
+        knn_mod = _load_ref("ref_knn_attack", "attack/KNN/KNN_attack.py")
+        adv_mod = _load_ref(
+            "ref_adv_utils2", "attack/CW/CW_utils/adv_utils.py"
+        )
+        dist_mod = _load_ref(
+            "ref_dist_utils2", "attack/CW/CW_utils/dist_utils.py"
+        )
+        clip_mod = _load_ref(
+            "ref_clip_utils2", "attack/CW/CW_utils/clip_utils.py"
+        )
+
+        torch.manual_seed(13)
+        attacker = knn_mod.CWKNN(
+            ref_model, ref_model, ref_model, ref_model, ref_model,
+            ref_model,
+            adv_func=adv_mod.UntargetedLogitsAdvLoss(kappa=0.0),
+            dist_func=dist_mod.ChamferDist(),
+            clip_func=clip_mod.ProjectInnerClipLinf(budget=self.BUDGET),
+            attack_lr=1e-2,
+            num_iter=self.NUM_ITER,
+            attack_method="untarget",
+        )
+        for i in range(self.N_SAMPLES):
+            attacker.attack(
+                torch.from_numpy(clouds[i : i + 1]),
+                torch.from_numpy(labels[i : i + 1]),
+            )
+        ref_asr = 1.0 - attacker.attack_fail / self.N_SAMPLES
+
+        from pointcloudattack_tpu.attacks.knn import (
+            KNNAttackConfig,
+            build_knn_attack,
+        )
+
+        def model_fn(x):
+            out, _ = model.apply(variables, x, train=False)
+            return out
+
+        cfg = KNNAttackConfig(
+            attack_lr=1e-2, num_iter=self.NUM_ITER, kappa=0.0,
+            budget=self.BUDGET,
+        )
+        adv, success = build_knn_attack(model_fn, cfg)(
+            jnp.asarray(clouds[: self.N_SAMPLES]),
+            jnp.asarray(labels[: self.N_SAMPLES]),
+            jax.random.PRNGKey(0),
+        )
+        our_asr = float(np.mean(np.asarray(success)))
+        assert abs(our_asr - ref_asr) <= 1.0 / self.N_SAMPLES + 1e-9
+        # perturbations stay within the shared Linf ball
+        delta = np.abs(np.asarray(adv) - clouds[: self.N_SAMPLES])
+        norms = np.linalg.norm(delta, axis=-1)
+        assert norms.max() <= self.BUDGET + 1e-4
