@@ -41,7 +41,11 @@ def query_ball_point(
 
     from pointcloudattack_tpu.ops.backend import is_tpu_backend
 
-    if is_tpu_backend() and nsample <= n:
+    # The MXU path materializes a [B, S, N, nsample] bf16 one-hot in HBM,
+    # so its cost grows linearly in nsample: measured on v5e at
+    # [32, 512, 1024] it beats the top_k sort 1.9 vs 5.1 ms at k=32 but
+    # loses 13.8 vs 7.1 ms at k=128 — dispatch on the group size.
+    if is_tpu_backend() and nsample <= min(n, 64):
         # MXU formulation (2x faster than the top_k sort on v5e): the
         # j-th selected index is sum_i i * [cnt_i == j+1 & in_ball],
         # computed as a fused one-hot matmul over the slot assignment.
