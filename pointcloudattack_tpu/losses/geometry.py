@@ -3,6 +3,13 @@
 Behavioral twins of reference attack/GeoA3/loss_utils.py.  All channels-last
 [B, N, 3]; curvature "kappa" is the mean absolute projection of normalized
 neighbour offsets onto the point normal.
+
+Intentional deviation: the reference's pytorch3d shim broadcasts the
+squared-norm terms on swapped axes (attack/GeoA3/knn_utils.py:13-15), so
+its CROSS-cloud distances are |p1_j|^2 - 2 p1_i.p2_j + |p2_i|^2 instead of
+|p1_i - p2_j|^2 (self-kNN is unaffected; the two coincide for unit-norm
+points).  We implement the correct metric — see SURVEY.md latent defects
+and tests/test_reference_parity2.py::test_knn_shim_norm_swap_defect.
 """
 
 from __future__ import annotations

@@ -1,0 +1,622 @@
+"""More numeric parity against the ACTUAL reference PyTorch code.
+
+Extends tests/test_reference_parity.py (forward + CW/KNN end-to-end) with
+module-by-module comparisons against the reference sources imported from
+/root/reference:
+
+  * every distance penalty of attack/CW/CW_utils/dist_utils.py;
+  * every clip/projection of attack/CW/CW_utils/clip_utils.py;
+  * the GeoA3 geometry losses of attack/GeoA3/loss_utils.py
+    (chamfer / pseudo-chamfer / hausdorff / kappa / curvature /
+    displacement / kNN-smoothing) with shared random normals;
+  * the SOR defense (exact output equality) and SRS (structural parity —
+    its point selection is host RNG, SRS.py:29-31);
+  * CTA integrated-gradients saliency (utils/integrated_gradients.py);
+  * TAOF end-to-end: the reference CWTAOF loop (attack/AOF/TAOF_attack.py
+    :83-244) vs attacks.aof on the same exported victim — the third
+    attack family with measured reference parity.
+
+Import shims (documented; none alters reference math):
+  * ``torch.symeig`` was removed in torch 2.x -> shimmed to
+    ``torch.linalg.eigh`` (same ascending order; TAOF_attack.py:51);
+  * ``torch.autograd.gradcheck.zero_gradients`` was removed -> no-op
+    (dead import, loss_utils.py:21);
+  * ``torchvision`` is not in this image -> empty module stub (dead
+    import, utility.py:15-16);
+  * GeoA3 utility.py shells out to ``stty size`` at import time
+    (utility.py:465) -> os.popen patched to "24 80" during import only.
+"""
+
+import io
+import os
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not available"
+)
+
+if REF.exists() and str(REF) not in sys.path:
+    sys.path.insert(0, str(REF))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+B, N = 2, 96
+RNG = np.random.RandomState(42)
+
+
+def _clouds(scale=1.0):
+    adv = RNG.randn(B, N, 3).astype(np.float32)
+    ori = adv + RNG.randn(B, N, 3).astype(np.float32) * 0.1 * scale
+    return adv, ori
+
+
+def _t(x):  # [B, N, 3] torch
+    return torch.from_numpy(np.asarray(x))
+
+
+def _tc(x):  # [B, 3, N] torch (reference channel-first convention)
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(x).transpose(0, 2, 1)))
+
+
+@pytest.fixture
+def cpu_cuda(monkeypatch):
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self)
+
+
+@pytest.fixture
+def symeig_shim(monkeypatch):
+    """torch.symeig(L, eigenvectors=True) -> torch.linalg.eigh(L)."""
+
+    def symeig(a, eigenvectors=False, upper=True):
+        e, v = torch.linalg.eigh(a)
+        return (e, v) if eigenvectors else (e, torch.zeros_like(a))
+
+    monkeypatch.setattr(torch, "symeig", symeig, raising=False)
+
+
+def _import_ref_geoa3_losses():
+    """Import the real attack/GeoA3/loss_utils.py with documented shims."""
+    gradcheck = sys.modules["torch.autograd.gradcheck"]
+    if not hasattr(gradcheck, "zero_gradients"):
+        gradcheck.zero_gradients = lambda x: None
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_t = types.ModuleType("torchvision.transforms")
+        tv.transforms = tv_t
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_t
+    real_popen = os.popen
+    os.popen = lambda *a, **k: io.StringIO("24 80")
+    try:
+        import attack.GeoA3.loss_utils as lu
+    finally:
+        os.popen = real_popen
+    return lu
+
+
+class TestDistUtilsParity:
+    """losses/distance.py vs the reference modules, batch_avg=False."""
+
+    def test_l2(self, cpu_cuda):
+        from attack.CW.CW_utils.dist_utils import L2Dist
+
+        from pointcloudattack_tpu.losses import l2_dist
+
+        adv, ori = _clouds()
+        want = L2Dist()(_t(adv), _t(ori), batch_avg=False).numpy()
+        got = np.asarray(l2_dist(jnp.asarray(adv), jnp.asarray(ori)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    @pytest.mark.parametrize("method", ["adv2ori", "ori2adv", "both"])
+    def test_chamfer(self, cpu_cuda, method):
+        from attack.CW.CW_utils.dist_utils import ChamferDist
+
+        from pointcloudattack_tpu.losses import chamfer_dist
+
+        adv, ori = _clouds()
+        want = ChamferDist(method=method)(
+            _t(adv), _t(ori), batch_avg=False
+        ).numpy()
+        got = np.asarray(
+            chamfer_dist(jnp.asarray(adv), jnp.asarray(ori), method)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    @pytest.mark.parametrize("method", ["adv2ori", "ori2adv", "both"])
+    def test_hausdorff(self, cpu_cuda, method):
+        from attack.CW.CW_utils.dist_utils import HausdorffDist
+
+        from pointcloudattack_tpu.losses import hausdorff_dist
+
+        adv, ori = _clouds()
+        want = HausdorffDist(method=method)(
+            _t(adv), _t(ori), batch_avg=False
+        ).numpy()
+        got = np.asarray(
+            hausdorff_dist(jnp.asarray(adv), jnp.asarray(ori), method)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_knn_dist(self, cpu_cuda):
+        from attack.CW.CW_utils.dist_utils import KNNDist
+
+        from pointcloudattack_tpu.losses import knn_outlier_dist
+
+        adv, _ = _clouds()
+        want = KNNDist(k=5, alpha=1.05)(_t(adv), batch_avg=False).numpy()
+        got = np.asarray(knn_outlier_dist(jnp.asarray(adv), k=5, alpha=1.05))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_chamfer_knn(self, cpu_cuda):
+        from attack.CW.CW_utils.dist_utils import ChamferkNNDist
+
+        from pointcloudattack_tpu.losses import chamfer_knn_dist
+
+        adv, ori = _clouds()
+        want = ChamferkNNDist()(_t(adv), _t(ori), batch_avg=False).numpy()
+        got = np.asarray(chamfer_knn_dist(jnp.asarray(adv), jnp.asarray(ori)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_farthest(self, cpu_cuda):
+        from attack.CW.CW_utils.dist_utils import FarthestDist
+
+        from pointcloudattack_tpu.losses import farthest_cluster_dist
+
+        clusters = RNG.randn(B, 3, 8, 3).astype(np.float32)
+        want = FarthestDist()(_t(clusters), batch_avg=False).numpy()
+        got = np.asarray(farthest_cluster_dist(jnp.asarray(clusters)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_far_chamfer(self, cpu_cuda):
+        from attack.CW.CW_utils.dist_utils import FarChamferDist
+
+        from pointcloudattack_tpu.losses import far_chamfer_dist
+
+        num_add = 3
+        added = RNG.randn(B, num_add * 8, 3).astype(np.float32)
+        _, ori = _clouds()
+        want = FarChamferDist(num_add=num_add)(
+            _t(added), _t(ori), batch_avg=False
+        ).numpy()
+        got = np.asarray(
+            far_chamfer_dist(jnp.asarray(added), jnp.asarray(ori), num_add)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_l2_chamfer(self, cpu_cuda):
+        from attack.CW.CW_utils.dist_utils import L2ChamferDist
+
+        from pointcloudattack_tpu.losses import l2_chamfer_dist
+
+        num_add = 3
+        adv_obj = RNG.randn(B, num_add, 8, 3).astype(np.float32)
+        ori_obj = adv_obj + RNG.randn(B, num_add, 8, 3).astype(np.float32) * 0.1
+        adv_pc = adv_obj.reshape(B, -1, 3)
+        _, ori = _clouds()
+        want = L2ChamferDist(num_add=num_add)(
+            _t(adv_pc), _t(ori), _t(adv_obj), _t(ori_obj), batch_avg=False
+        ).numpy()
+        got = np.asarray(
+            l2_chamfer_dist(
+                jnp.asarray(adv_pc),
+                jnp.asarray(ori),
+                jnp.asarray(adv_obj),
+                jnp.asarray(ori_obj),
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+class TestClipUtilsParity:
+    """constraints/clip.py vs attack/CW/CW_utils/clip_utils.py."""
+
+    def _normals(self):
+        n = RNG.randn(B, N, 3).astype(np.float32)
+        return n / np.linalg.norm(n, axis=-1, keepdims=True)
+
+    def test_clip_linf(self, cpu_cuda):
+        from attack.CW.CW_utils.clip_utils import ClipPointsLinf
+
+        from pointcloudattack_tpu.constraints.clip import clip_points_linf
+
+        adv, ori = _clouds(scale=5.0)
+        want = ClipPointsLinf(budget=0.3)(_tc(adv), _tc(ori)).numpy()
+        got = np.asarray(
+            clip_points_linf(jnp.asarray(adv), jnp.asarray(ori), 0.3)
+        )
+        np.testing.assert_allclose(
+            got.transpose(0, 2, 1), want, rtol=1e-5, atol=1e-6
+        )
+
+    def test_clip_l2(self, cpu_cuda):
+        from attack.CW.CW_utils.clip_utils import ClipPointsL2
+
+        from pointcloudattack_tpu.constraints.clip import clip_points_l2
+
+        adv, ori = _clouds(scale=5.0)
+        want = ClipPointsL2(budget=1.0)(_tc(adv), _tc(ori)).numpy()
+        got = np.asarray(
+            clip_points_l2(jnp.asarray(adv), jnp.asarray(ori), 1.0)
+        )
+        np.testing.assert_allclose(
+            got.transpose(0, 2, 1), want, rtol=1e-5, atol=1e-6
+        )
+
+    def test_project_inner(self, cpu_cuda):
+        from attack.CW.CW_utils.clip_utils import ProjectInnerPoints
+
+        from pointcloudattack_tpu.constraints.clip import project_inner_points
+
+        adv, ori = _clouds()
+        normal = self._normals()
+        want = ProjectInnerPoints()(
+            _tc(adv), _tc(ori), _tc(normal)
+        ).numpy()
+        got = np.asarray(
+            project_inner_points(
+                jnp.asarray(adv), jnp.asarray(ori), jnp.asarray(normal)
+            )
+        )
+        np.testing.assert_allclose(
+            got.transpose(0, 2, 1), want, rtol=1e-4, atol=1e-6
+        )
+
+    def test_project_inner_clip_linf(self, cpu_cuda):
+        from attack.CW.CW_utils.clip_utils import ProjectInnerClipLinf
+
+        from pointcloudattack_tpu.constraints.clip import (
+            project_inner_clip_linf,
+        )
+
+        adv, ori = _clouds(scale=3.0)
+        normal = self._normals()
+        want = ProjectInnerClipLinf(budget=0.3)(
+            _tc(adv), _tc(ori), _tc(normal)
+        ).numpy()
+        got = np.asarray(
+            project_inner_clip_linf(
+                jnp.asarray(adv), jnp.asarray(ori), 0.3, jnp.asarray(normal)
+            )
+        )
+        np.testing.assert_allclose(
+            got.transpose(0, 2, 1), want, rtol=1e-4, atol=1e-6
+        )
+
+
+class TestGeoA3LossParity:
+    """losses/geometry.py + distance combos vs attack/GeoA3/loss_utils.py.
+
+    LATENT DEFECT (documented here, not replicated): the reference's
+    pytorch3d shim computes the pairwise matrix with its squared-norm
+    terms on SWAPPED axes — knn_utils.py:13-15 broadcasts ``p1_2``
+    ([B,1,N1]) along rows and ``p2_2.transpose(2,1)`` ([B,N2,1]) along
+    columns, yielding dist[i,j] = |p1_j|^2 - 2 p1_i.p2_j + |p2_i|^2
+    instead of |p1_i - p2_j|^2 (it can go negative; see
+    test_knn_shim_norm_swap_defect).  Self-kNN is unaffected (the swap
+    cancels for p1 == p2), and for unit-norm points the constant terms
+    cancel, so cross-cloud parity is asserted on sphere-normalized
+    clouds where the reference's intended and actual math coincide.
+    """
+
+    @pytest.fixture(scope="class")
+    def lu(self):
+        return _import_ref_geoa3_losses()
+
+    def _normals(self):
+        n = RNG.randn(B, N, 3).astype(np.float32)
+        return n / np.linalg.norm(n, axis=-1, keepdims=True)
+
+    @staticmethod
+    def _sphere_clouds():
+        """Unit-norm clouds: the reference shim's norm swap cancels."""
+        adv = RNG.randn(B, N, 3).astype(np.float32)
+        adv /= np.linalg.norm(adv, axis=-1, keepdims=True)
+        ori = adv + RNG.randn(B, N, 3).astype(np.float32) * 0.1
+        ori /= np.linalg.norm(ori, axis=-1, keepdims=True)
+        return adv, ori
+
+    def test_knn_shim_norm_swap_defect(self, lu):
+        """Pin down the reference defect: its knn dists match the
+        swapped-norm emulation exactly and are NOT true sqdists."""
+        from attack.GeoA3.knn_utils import knn_points as ref_knn_points
+
+        adv, ori = _clouds()
+        got = ref_knn_points(_t(adv), _t(ori), K=1).dists.numpy()[..., 0]
+
+        inner = np.einsum("bic,bjc->bij", adv, ori)
+        n1 = np.sum(adv**2, axis=-1)  # [B, N]
+        n2 = np.sum(ori**2, axis=-1)
+        swapped = n1[:, None, :] - 2 * inner + n2[:, :, None]
+        np.testing.assert_allclose(
+            got, swapped.min(axis=-1), rtol=1e-4, atol=1e-5
+        )
+        true_sq = n1[:, :, None] - 2 * inner + n2[:, None, :]
+        assert not np.allclose(got, true_sq.min(axis=-1), atol=1e-3)
+
+    def test_norm_l2(self, lu):
+        from pointcloudattack_tpu.losses import l2_dist
+
+        adv, ori = _clouds()
+        want = lu.norm_l2_loss(_tc(adv), _tc(ori)).numpy()
+        got = np.asarray(l2_dist(jnp.asarray(adv), jnp.asarray(ori))) ** 2
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_chamfer_loss(self, lu):
+        from pointcloudattack_tpu.losses import chamfer_both
+
+        adv, ori = self._sphere_clouds()
+        want = lu.chamfer_loss(_tc(adv), _tc(ori)).numpy()
+        a2o, o2a = chamfer_both(jnp.asarray(adv), jnp.asarray(ori))
+        np.testing.assert_allclose(
+            np.asarray(a2o + o2a), want, rtol=1e-4, atol=1e-6
+        )
+
+    def test_pseudo_chamfer_loss(self, lu):
+        from pointcloudattack_tpu.losses import chamfer_dist
+
+        adv, ori = self._sphere_clouds()
+        want = lu.pseudo_chamfer_loss(_tc(adv), _tc(ori)).numpy()
+        got = np.asarray(
+            chamfer_dist(jnp.asarray(adv), jnp.asarray(ori), "adv2ori")
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_hausdorff_loss(self, lu):
+        from pointcloudattack_tpu.losses import hausdorff_dist
+
+        adv, ori = self._sphere_clouds()
+        want = lu.hausdorff_loss(_tc(adv), _tc(ori)).numpy()
+        got = np.asarray(
+            hausdorff_dist(jnp.asarray(adv), jnp.asarray(ori), "adv2ori")
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_kappa_ori(self, lu):
+        from pointcloudattack_tpu.losses import kappa_ori
+
+        adv, _ = _clouds()
+        normal = self._normals()
+        want = lu._get_kappa_ori(_tc(adv), _tc(normal), k=2).numpy()
+        got = np.asarray(
+            kappa_ori(jnp.asarray(adv), jnp.asarray(normal), k=2)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_kappa_adv(self, lu):
+        from pointcloudattack_tpu.losses import kappa_adv
+
+        adv, ori = self._sphere_clouds()
+        normal = self._normals()
+        want_k, want_n = lu._get_kappa_adv(
+            _tc(adv), _tc(ori), _tc(normal), k=2
+        )
+        got_k, got_n = kappa_adv(
+            jnp.asarray(adv), jnp.asarray(ori), jnp.asarray(normal), k=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_k), want_k.numpy(), rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_n).transpose(0, 2, 1), want_n.numpy(),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_curvature_loss(self, lu):
+        from pointcloudattack_tpu.losses import curvature_loss, kappa_adv, kappa_ori
+
+        adv, ori = self._sphere_clouds()
+        normal = self._normals()
+        ok = lu._get_kappa_ori(_tc(ori), _tc(normal), k=2)
+        ak, _ = lu._get_kappa_adv(_tc(adv), _tc(ori), _tc(normal), k=2)
+        want = lu.curvature_loss(_tc(adv), _tc(ori), ak, ok).numpy()
+
+        j_ok = kappa_ori(jnp.asarray(ori), jnp.asarray(normal), k=2)
+        j_ak, _ = kappa_adv(
+            jnp.asarray(adv), jnp.asarray(ori), jnp.asarray(normal), k=2
+        )
+        got = np.asarray(
+            curvature_loss(jnp.asarray(adv), jnp.asarray(ori), j_ak, j_ok)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_displacement_loss(self, lu):
+        from pointcloudattack_tpu.losses import displacement_loss
+
+        adv, ori = _clouds()
+        want = lu.displacement_loss(_tc(adv), _tc(ori), k=16).numpy()
+        got = np.asarray(
+            displacement_loss(jnp.asarray(adv), jnp.asarray(ori), k=16)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+
+    def test_knn_smoothing_loss(self, lu):
+        from pointcloudattack_tpu.losses import knn_smoothing_loss
+
+        adv, _ = _clouds()
+        want = lu.kNN_smoothing_loss(_tc(adv), k=5, threshold_coef=1.05).numpy()
+        got = np.asarray(
+            knn_smoothing_loss(jnp.asarray(adv), k=5, threshold_coef=1.05)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+
+
+class TestDefenseParity:
+    def test_sor_exact(self, cpu_cuda):
+        from attack.SIadv.baselines.defense.drop_points.SOR import SORDefense
+
+        from pointcloudattack_tpu.defense.sor import sor_defense
+
+        pc = RNG.randn(3, 128, 3).astype(np.float32)
+        ref = SORDefense(k=2, alpha=1.1, npoint=128)
+        want = ref(_tc(pc)).numpy().transpose(0, 2, 1)  # [B, npoint, 3]
+        got = np.asarray(
+            sor_defense(jnp.asarray(pc), k=2, alpha=1.1, npoint=128)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_srs_structural(self, cpu_cuda):
+        """SRS point selection is host RNG (SRS.py:29-31) — parity is
+        structural: both keep K - drop_num distinct input points."""
+        from attack.SIadv.baselines.defense.drop_points.SRS import SRSDefense
+
+        from pointcloudattack_tpu.defense.srs import srs_defense
+
+        pc = RNG.randn(2, 128, 3).astype(np.float32)
+        drop = 28
+        want = SRSDefense(drop_num=drop)(_tc(pc)).numpy().transpose(0, 2, 1)
+        got = np.asarray(
+            srs_defense(jnp.asarray(pc), jax.random.PRNGKey(0), drop_num=drop)
+        )
+        assert got.shape == want.shape == (2, 100, 3)
+        for b in range(2):
+            rows = {tuple(r) for r in pc[b]}
+            got_rows = {tuple(r) for r in got[b]}
+            assert got_rows <= rows and len(got_rows) == 100
+
+
+class TestCTASaliencyParity:
+    """attacks/cta.integrated_gradients vs utils/integrated_gradients.py."""
+
+    def test_ig(self, cpu_cuda, trained_pointnet):
+        from attack.CTA.utils.integrated_gradients import IntegratedGradients
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu.attacks.cta import integrated_gradients
+        from pointcloudattack_tpu.train import torch_port
+
+        model, variables, clouds, labels = trained_pointnet
+        clouds = np.asarray(clouds, dtype=np.float32)
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+
+        # reference VanillaGradient.get_mask hard-codes set_size=2 rows
+        # (vanilla_gradient.py:11-21), so feed a 2-cloud batch; duplicate
+        # one cloud so the reference's GLOBAL-min baseline
+        # (integrated_gradients.py:10) equals our per-cloud min.
+        x = np.stack([clouds[0], clouds[0]])
+        tc = int(labels[0])
+        if tc == 0:
+            tc = int(labels[np.argmax(labels != 0)])  # truthy class id
+            x = np.stack(
+                [clouds[labels.tolist().index(tc)]] * 2
+            ).astype(np.float32)
+
+        ig = IntegratedGradients(ref_model)
+        want = ig.get_mask(
+            _tc(x), target_class=tc, steps=25
+        )  # [3, N, B]
+
+        def model_fn(a):
+            out, _ = model.apply(variables, a, train=False)
+            return out
+
+        got = np.asarray(
+            integrated_gradients(
+                model_fn, jnp.asarray(x), jnp.full((2,), tc), steps=25
+            )
+        )  # [B, N, 3]
+        # exact equality is not expected: the IG path crosses max-pool
+        # tie boundaries where torch/XLA argmax picks can differ, so
+        # compare up to small relative error + near-perfect correlation
+        # (measured: corr 0.99999, max rel diff ~0.7%)
+        w, g = want[..., 0].T, got[0]
+        scale = np.abs(w).max()
+        np.testing.assert_allclose(g, w, rtol=0.05, atol=0.02 * scale)
+        corr = np.corrcoef(g.ravel(), w.ravel())[0, 1]
+        assert corr > 0.999, f"IG correlation {corr}"
+
+
+class TestTAOFEndToEnd:
+    """Reference CWTAOF (attack/AOF/TAOF_attack.py:83-244) vs attacks.aof
+    targeted mode on the same exported victim."""
+
+    N_SAMPLES = 5
+    BINARY_STEP = 2
+    NUM_ITER = 60
+    LOW_PASS = 32
+    BUDGET = 0.45
+
+    def test_taof_asr_parity(self, cpu_cuda, symeig_shim, trained_pointnet):
+        from attack.AOF.TAOF_attack import CWTAOF
+        from attack.CW.CW_utils.adv_utils import LogitsAdvLoss
+        from attack.CW.CW_utils.clip_utils import ClipPointsLinf
+        from attack.CW.CW_utils.dist_utils import L2Dist
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu.attacks.aof import AOFConfig, build_aof_attack
+        from pointcloudattack_tpu.train import torch_port
+
+        model, variables, clouds, labels = trained_pointnet
+        clouds = np.asarray(clouds, dtype=np.float32)
+        labels = np.asarray(labels)
+        targets = (labels + 1) % 3
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+
+        torch.manual_seed(17)
+        attacker = CWTAOF(
+            model=ref_model,
+            adv_func=LogitsAdvLoss(kappa=0.0),
+            dist_func=L2Dist(),
+            attack_lr=1e-2,
+            binary_step=self.BINARY_STEP,
+            num_iter=self.NUM_ITER,
+            GAMMA=0.5,
+            low_pass=self.LOW_PASS,
+            clip_func=ClipPointsLinf(budget=self.BUDGET),
+        )
+        ref_succ = 0
+        for i in range(self.N_SAMPLES):
+            _, _, success_num = attacker.attack(
+                torch.from_numpy(clouds[i : i + 1]),
+                torch.from_numpy(targets[i : i + 1]),
+                y_truth=torch.from_numpy(labels[i : i + 1]),
+            )
+            ref_succ += success_num
+        ref_asr = ref_succ / self.N_SAMPLES
+
+        def model_fn(x):
+            out, _ = model.apply(variables, x, train=False)
+            return out
+
+        cfg = AOFConfig(
+            attack_lr=1e-2,
+            binary_step=self.BINARY_STEP,
+            num_iter=self.NUM_ITER,
+            gamma=0.5,
+            low_pass=self.LOW_PASS,
+            budget=self.BUDGET,
+            kappa=0.0,
+            targeted=True,
+        )
+        attack_fn = build_aof_attack(model_fn, cfg)
+        _, _, success = attack_fn(
+            jnp.asarray(clouds[: self.N_SAMPLES]),
+            jnp.asarray(targets[: self.N_SAMPLES]),
+            jax.random.PRNGKey(0),
+            jnp.asarray(labels[: self.N_SAMPLES]),
+        )
+        our_asr = float(np.mean(np.asarray(success)))
+        assert abs(our_asr - ref_asr) <= 1.0 / self.N_SAMPLES + 1e-9, (
+            f"TAOF ASR ref={ref_asr} ours={our_asr}"
+        )
