@@ -40,6 +40,7 @@ from pointcloudattack_tpu.attacks.iso import (
     ISOConfig,
     BernThompson,
     build_gradient_iso_attack,
+    build_tsi_probe,
     thompson_sample_attack,
 )
 from pointcloudattack_tpu.attacks.siadv import (
@@ -80,7 +81,7 @@ __all__ = [
     "AOFConfig", "build_aof_attack",
     "CTAConfig", "build_cta_attack", "integrated_gradients",
     "ISOConfig", "BernThompson", "build_gradient_iso_attack",
-    "thompson_sample_attack",
+    "build_tsi_probe", "thompson_sample_attack",
     "SIAdvConfig", "build_si_ifgm", "build_simba", "build_simbapp",
     "build_si_query_attack",
     "AddPointsConfig", "AddClustersConfig", "build_add_points_attack",

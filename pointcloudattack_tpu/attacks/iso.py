@@ -118,6 +118,26 @@ class BernThompson:
         self.beta[arm] += 1 - reward
 
 
+def build_tsi_probe(model_fn: Callable):
+    """One jitted (obj, label, w) -> (pred, true_prob) probe.
+
+    Build this ONCE and pass it to ``thompson_sample_attack`` when
+    attacking many samples — a probe closure rebuilt per sample would
+    re-trace and re-compile the victim forward every time (minutes on
+    the axon remote-compile tunnel).
+    """
+
+    @jax.jit
+    def probe(obj, label, w):
+        logits = model_fn(apply_iso(obj, w))
+        prob = jax.nn.softmax(logits, axis=-1)
+        pred = jnp.argmax(logits, axis=-1)
+        true_prob = jnp.take_along_axis(prob, label[:, None], axis=-1)[:, 0]
+        return pred, true_prob
+
+    return probe
+
+
 def thompson_sample_attack(
     model_fn: Callable,
     bandit: BernThompson,
@@ -125,26 +145,23 @@ def thompson_sample_attack(
     label: jax.Array,
     num_init: int = 10,
     kind: str = "rotation",
+    probe: Callable | None = None,
 ):
     """TSI attack: propose random isometries until one misclassifies.
 
     Returns (best W [3,3], success, tries). The W with the lowest true-
-    class probability is kept (iso_attack.py:104-118).
+    class probability is kept (iso_attack.py:104-118).  ``probe`` is an
+    optional pre-built ``build_tsi_probe(model_fn)`` result; pass it when
+    calling in a loop so the victim forward compiles once.
     """
-
-    @jax.jit
-    def probe(w):
-        logits = model_fn(apply_iso(obj, w))
-        prob = jax.nn.softmax(logits, axis=-1)
-        pred = jnp.argmax(logits, axis=-1)
-        true_prob = jnp.take_along_axis(prob, label[:, None], axis=-1)[:, 0]
-        return pred, true_prob
+    if probe is None:
+        probe = build_tsi_probe(model_fn)
 
     best_w, best_prob = None, np.inf
     for i in range(num_init):
         arm = bandit.get_action()
         w = jnp.asarray(bandit.sample_matrix(arm, kind), dtype=obj.dtype)
-        pred, true_prob = probe(w)
+        pred, true_prob = probe(obj, label, w)
         wrong = bool((np.asarray(pred) != np.asarray(label)).all())
         bandit.update(arm, int(wrong))
         tp = float(np.asarray(true_prob).mean())

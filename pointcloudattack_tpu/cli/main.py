@@ -367,6 +367,7 @@ def _run_family(
             I.ISOConfig(step_size=args.step_size or 0.01,
                         num_steps=args.num_iter or 200),
         )
+        tsi_probe = I.build_tsi_probe(model_fn)
         def true_prob(obj, lab):
             prob = jax.nn.softmax(model_fn(obj), axis=-1)
             return float(np.asarray(prob)[0, int(lab[0])])
@@ -377,7 +378,8 @@ def _run_family(
             lab = target[i : i + 1]
             prob_before = true_prob(obj, lab)
             w, ok, tries = I.thompson_sample_attack(
-                model_fn, bandit, obj, lab, num_init=args.num_init
+                model_fn, bandit, obj, lab, num_init=args.num_init,
+                probe=tsi_probe,
             )
             init_succ += int(ok)
             steps = 0
@@ -489,7 +491,10 @@ def cmd_attack(args):
 
     model, variables = _build_model(cfg, num_classes)
     variables = _restore(cfg, cfg.model, cfg.checkpoint, variables)
-    model_fn = make_model_fn(model, variables)
+    compute_dtype = (
+        jnp.bfloat16 if args.compute_dtype == "bf16" else None
+    )
+    model_fn = make_model_fn(model, variables, compute_dtype=compute_dtype)
     from pointcloudattack_tpu import models as _models
 
     if _models.OUTPUT_KIND.get(cfg.model) == "logits":
@@ -722,6 +727,11 @@ def build_parser():
                    help="0 = whole dataset")
     p.add_argument("--cta_target_mode", default="untarget")
     p.add_argument("--save_adv", action="store_true")
+    p.add_argument("--compute_dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="victim forward precision; bf16 is ~1.9x faster "
+                        "on TPU (attack state stays f32 — see BENCH.md "
+                        "for the kappa caveat)")
     p.add_argument("--defense", default="none",
                    help="pre-head on the victim: none | sor | srs | dupnet")
     p.add_argument("--transfer_test", action="store_true",

@@ -53,6 +53,20 @@ def test_attack_cw_cli(trained_run):
     assert cloud.shape == (64, 3)
 
 
+def test_attack_cw_bf16_cli(trained_run):
+    """--compute_dtype bf16 runs the victim forward in bfloat16."""
+    out, ckpt = trained_run
+    asr = main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--binary_step", "2", "--num_iter", "50", "--kappa", "3",
+        "--budget", "0.45", "--num_samples", "6",
+        "--compute_dtype", "bf16",
+    ])
+    assert asr >= 0.8
+
+
 def test_test_advdata_cli(trained_run, capsys):
     out, ckpt = trained_run
     adv_dir = os.path.join(out, "AdvData", "PointNet")
