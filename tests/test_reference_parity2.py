@@ -541,6 +541,77 @@ class TestCTASaliencyParity:
         assert corr > 0.999, f"IG correlation {corr}"
 
 
+class TestTrainingGradientParity:
+    """Backward-pass parity: d(NLL + ft-reg)/d(input) of the reference
+    torch PointNet vs the flax port on identical weights and batch.
+
+    Exercises the full backward chain (STN matmuls, convs, max-pool
+    routing, BN affine, log-softmax) that training and every white-box
+    attack rely on.  BN runs in inference normalization and the
+    reference's Dropout(p=0.3) (pointnet.py:138) is zeroed on the torch
+    side so both graphs are deterministic — train-mode batch-stat
+    gradients are exercised separately by the attack e2e tests.
+    """
+
+    def test_input_gradient_parity(self, cpu_cuda):
+        import torch.nn.functional as F
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu import models
+        from pointcloudattack_tpu.models.common import (
+            feature_transform_regularizer,
+        )
+        from pointcloudattack_tpu.train import torch_port
+
+        torch.manual_seed(23)
+        ref = PointNetCls(k=4, feature_transform=True)
+        x = RNG.randn(3, 128, 3).astype(np.float32)
+        y = np.array([0, 1, 3])
+        x_t = torch.from_numpy(x.transpose(0, 2, 1))
+
+        # non-trivial BN running stats, then deterministic graphs
+        ref.train()
+        with torch.no_grad():
+            for _ in range(2):
+                ref(x_t + torch.randn(x_t.shape) * 0.05)
+        ref.eval()
+
+        xin = x_t.clone().requires_grad_(True)
+        logp, _, trans_feat = ref(xin)
+        d = trans_feat.shape[1]
+        eye = torch.eye(d)[None]
+        reg = torch.mean(
+            torch.norm(
+                torch.bmm(trans_feat, trans_feat.transpose(2, 1)) - eye,
+                dim=(1, 2),
+            )
+        )
+        loss_t = F.nll_loss(logp, torch.from_numpy(y)) + 0.001 * reg
+        loss_t.backward()
+        want = xin.grad.numpy().transpose(0, 2, 1)  # [B, N, 3]
+
+        variables = torch_port.port_pointnet(
+            ref.state_dict(), feature_transform=True
+        )
+        model = models.make_model("PointNet", 4, feature_transform=True)
+
+        def loss_fn(a):
+            out, aux = model.apply(variables, a, train=False)
+            one_hot = jax.nn.one_hot(jnp.asarray(y), 4, dtype=out.dtype)
+            nll = -jnp.mean(jnp.sum(one_hot * out, axis=-1))
+            return nll + 0.001 * feature_transform_regularizer(
+                aux["trans_feat"]
+            )
+
+        loss_j, got = jax.value_and_grad(loss_fn)(jnp.asarray(x))
+        np.testing.assert_allclose(
+            float(loss_j), float(loss_t.detach()), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=1e-3, atol=1e-5
+        )
+
+
 class TestTAOFEndToEnd:
     """Reference CWTAOF (attack/AOF/TAOF_attack.py:83-244) vs attacks.aof
     targeted mode on the same exported victim."""
