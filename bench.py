@@ -20,6 +20,10 @@ batch (one ~25 ms fetch amortized over reps).
 import json
 import time
 
+from pointcloudattack_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -87,6 +91,32 @@ def bench_cw():
     }
 
 
+def bench_cw_bf16():
+    """Same headline config with the bf16 victim forward (opt-in path)."""
+    clouds, labels = make_synthetic_clouds(
+        NUM_CLASSES, max(1, BATCH // NUM_CLASSES + 1), NUM_POINTS, seed=0
+    )
+    data = jnp.asarray(clouds[:BATCH])
+    target = jnp.asarray(labels[:BATCH])
+    model = models.make_model("PointNet", NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=BATCH
+    )
+    model_fn = make_model_fn(model, variables, compute_dtype=jnp.bfloat16)
+    cfg = CWPerturbConfig(
+        binary_step=BINARY_STEPS, num_iter=NUM_ITER, kappa=30.0, budget=0.18
+    )
+    attack = build_cw_attack(model_fn, cfg)
+    dt = _time_enqueued(
+        lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
+        lambda res: res.best_dist,
+    )
+    return {
+        "clouds_per_sec": round(BATCH / dt, 3),
+        "sec_per_batch": round(dt, 4),
+    }
+
+
 def bench_aof():
     from pointcloudattack_tpu.attacks.aof import AOFConfig, build_aof_attack
 
@@ -142,7 +172,11 @@ def bench_si_ifgm():
 def main():
     cw = bench_cw()
     families = {"cw": cw}
-    for name, fn in (("aof", bench_aof), ("si_ifgm", bench_si_ifgm)):
+    for name, fn in (
+        ("cw_bf16", bench_cw_bf16),
+        ("aof", bench_aof),
+        ("si_ifgm", bench_si_ifgm),
+    ):
         try:
             families[name] = fn()
         except Exception as e:  # keep the headline alive on any breakage

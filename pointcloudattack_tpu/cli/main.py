@@ -787,6 +787,11 @@ def build_parser():
 
 
 def main(argv=None):
+    from pointcloudattack_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
