@@ -79,9 +79,17 @@ def init_model(
     num_points: int = 1024,
     batch: int = 2,
 ) -> dict:
-    """Initialize variables (params + batch_stats) on a dummy cloud."""
+    """Initialize variables (params + batch_stats) on a dummy cloud.
+
+    The init is run under jit: eager flax init dispatches every op
+    individually, which on the axon TPU pays the ~25 ms tunnel RTT per
+    op (CurveNet: minutes; jitted: one dispatch). Same PRNG stream, same
+    values.
+    """
     dummy = jnp.zeros((batch, num_points, 3), dtype=jnp.float32)
-    return model.init({"params": key}, dummy, train=False)
+    return jax.jit(
+        lambda k, d: model.init({"params": k}, d, train=False)
+    )(key, dummy)
 
 
 __all__ = [
