@@ -62,7 +62,8 @@ def _mfu(jitted, dt, *args):
         return None
 
 
-def bench_cw():
+def bench_cw(compute_dtype=None):
+    """Headline CW config; compute_dtype=jnp.bfloat16 for the bf16 path."""
     clouds, labels = make_synthetic_clouds(
         NUM_CLASSES, max(1, BATCH // NUM_CLASSES + 1), NUM_POINTS, seed=0
     )
@@ -73,7 +74,7 @@ def bench_cw():
     variables = models.init_model(
         model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=BATCH
     )
-    model_fn = make_model_fn(model, variables)
+    model_fn = make_model_fn(model, variables, compute_dtype=compute_dtype)
 
     cfg = CWPerturbConfig(
         binary_step=BINARY_STEPS, num_iter=NUM_ITER, kappa=30.0, budget=0.18
@@ -88,32 +89,6 @@ def bench_cw():
         "clouds_per_sec": round(BATCH / dt, 3),
         "sec_per_batch": round(dt, 4),
         "mfu": _mfu(attack, dt, data, target, jax.random.PRNGKey(0)),
-    }
-
-
-def bench_cw_bf16():
-    """Same headline config with the bf16 victim forward (opt-in path)."""
-    clouds, labels = make_synthetic_clouds(
-        NUM_CLASSES, max(1, BATCH // NUM_CLASSES + 1), NUM_POINTS, seed=0
-    )
-    data = jnp.asarray(clouds[:BATCH])
-    target = jnp.asarray(labels[:BATCH])
-    model = models.make_model("PointNet", NUM_CLASSES)
-    variables = models.init_model(
-        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=BATCH
-    )
-    model_fn = make_model_fn(model, variables, compute_dtype=jnp.bfloat16)
-    cfg = CWPerturbConfig(
-        binary_step=BINARY_STEPS, num_iter=NUM_ITER, kappa=30.0, budget=0.18
-    )
-    attack = build_cw_attack(model_fn, cfg)
-    dt = _time_enqueued(
-        lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
-        lambda res: res.best_dist,
-    )
-    return {
-        "clouds_per_sec": round(BATCH / dt, 3),
-        "sec_per_batch": round(dt, 4),
     }
 
 
@@ -173,7 +148,7 @@ def main():
     cw = bench_cw()
     families = {"cw": cw}
     for name, fn in (
-        ("cw_bf16", bench_cw_bf16),
+        ("cw_bf16", lambda: bench_cw(jnp.bfloat16)),
         ("aof", bench_aof),
         ("si_ifgm", bench_si_ifgm),
     ):

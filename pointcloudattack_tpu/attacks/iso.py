@@ -139,7 +139,7 @@ def build_tsi_probe(model_fn: Callable):
 
 
 def thompson_sample_attack(
-    model_fn: Callable,
+    model_fn: Callable | None,
     bandit: BernThompson,
     obj: jax.Array,
     label: jax.Array,
@@ -151,9 +151,13 @@ def thompson_sample_attack(
 
     Returns (best W [3,3], success, tries). The W with the lowest true-
     class probability is kept (iso_attack.py:104-118).  ``probe`` is an
-    optional pre-built ``build_tsi_probe(model_fn)`` result; pass it when
-    calling in a loop so the victim forward compiles once.
+    optional pre-built ``build_tsi_probe(model_fn)`` result; pass it
+    (with ``model_fn=None``) when calling in a loop so the victim
+    forward compiles once — exactly one of the two must be given, so a
+    probe built from a different model can't silently shadow model_fn.
     """
+    if (probe is None) == (model_fn is None):
+        raise ValueError("pass exactly one of model_fn or probe")
     if probe is None:
         probe = build_tsi_probe(model_fn)
 

@@ -302,8 +302,11 @@ def _run_family(
             kappa=args.kappa,
             targeted=(family == "taof"), low_pass=args.low_pass,
         )
+        # the targeted TAOF success rule needs the TRUE labels for its
+        # lfc_pred != y_truth clause (reference TAOF_attack.py:205-211)
         adv, best_dist, success = build_aof_attack(model_fn, acfg)(
-            data, target, key
+            data, target, key,
+            jnp.asarray(true_labels) if family == "taof" else None,
         )
         # npz result bundle like reference Eval_AOF.py:245-259
         os.makedirs(cfg.output_dir, exist_ok=True)
@@ -364,7 +367,7 @@ def _run_family(
         )
         grad_attack = I.build_gradient_iso_attack(
             model_fn,
-            I.ISOConfig(step_size=args.step_size or 0.01,
+            I.ISOConfig(step_size=args.iso_step_size,
                         num_steps=args.num_iter or 200),
         )
         tsi_probe = I.build_tsi_probe(model_fn)
@@ -378,7 +381,7 @@ def _run_family(
             lab = target[i : i + 1]
             prob_before = true_prob(obj, lab)
             w, ok, tries = I.thompson_sample_attack(
-                model_fn, bandit, obj, lab, num_init=args.num_init,
+                None, bandit, obj, lab, num_init=args.num_init,
                 probe=tsi_probe,
             )
             init_succ += int(ok)
@@ -715,7 +718,11 @@ def build_parser():
     p.add_argument("--num_iter", type=int, default=0,
                    help="0 = family reference default")
     p.add_argument("--budget", type=float, default=0.18)
-    p.add_argument("--step_size", type=float, default=0.07)
+    p.add_argument("--step_size", type=float, default=0.07,
+                   help="SIadv/SimBA step size (reference default 0.07)")
+    p.add_argument("--iso_step_size", type=float, default=0.01,
+                   help="ISO CTRI Adam lr (reference iso_attack.py "
+                        "default 0.01 — separate from --step_size)")
     p.add_argument("--low_pass", type=int, default=100)
     p.add_argument("--num_add", type=int, default=512)
     p.add_argument("--init_weight", type=float, default=0.0,

@@ -10,6 +10,11 @@ ignored); the config update below must come after importing jax.
 
 import os
 
+# keep the CLI's persistent compilation cache OUT of test runs: CLI tests
+# call cli.main() in-process, which would otherwise flip the global
+# jax_compilation_cache_dir and persist every subsequent CPU compile
+os.environ.setdefault("PCA_COMPILE_CACHE", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -53,6 +53,24 @@ def test_attack_cw_cli(trained_run):
     assert cloud.shape == (64, 3)
 
 
+def test_attack_taof_cli(trained_run):
+    """Targeted TAOF through the CLI: exercises the y_truth wiring (the
+    success rule needs true labels, reference TAOF_attack.py:205-211)."""
+    out, ckpt = trained_run
+    main([
+        "attack", "taof", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--attack_method", "target", "--binary_step", "2",
+        "--num_iter", "40", "--kappa", "0", "--budget", "0.45",
+        "--low_pass", "24", "--num_samples", "4",
+    ])
+    bundle = np.load(os.path.join(out, "taof_results.npz"))
+    assert bundle["test_pc"].shape == (4, 64, 3)
+    # target labels rotate truth+1, true labels preserved in the bundle
+    assert (bundle["target_label"] != bundle["test_label"]).all()
+
+
 def test_attack_cw_bf16_cli(trained_run):
     """--compute_dtype bf16 runs the victim forward in bfloat16."""
     out, ckpt = trained_run
