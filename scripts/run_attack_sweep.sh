@@ -23,10 +23,16 @@ python -m pointcloudattack_tpu.cli test --dataset synthetic \
 for FAMILY in cw perturb cw-robust knn geoa3 geoa3-partial aof cta siadv \
               simba simbapp si-query add-points add-clusters iso; do
   echo "=== $FAMILY ==="
+  # query attacks keep their reference default budgets (one basis pass /
+  # full sensitivity sweep) — a 100-iter cap would starve them
+  case "$FAMILY" in
+    simba|simbapp|si-query) ITERS=0 ;;
+    *) ITERS=100 ;;
+  esac
   python -m pointcloudattack_tpu.cli attack "$FAMILY" \
     --dataset synthetic --model "$MODEL" --num_points "$NP" \
     --num_classes "$NC" --checkpoint "$CKPT" --output_dir "$OUT" \
-    --binary_step 2 --num_iter 100 --kappa 0 --budget 0.45 \
+    --binary_step 2 --num_iter "$ITERS" --kappa 0 --budget 0.45 \
     --num_samples 8 || echo "$FAMILY failed"
 done
 
