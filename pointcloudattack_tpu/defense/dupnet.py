@@ -2,9 +2,12 @@
 
 Behavioral twin of reference
 attack/SIadv/baselines/defense/DUP_Net/DUP_Net.py:14-34 (sor_k=2,
-sor_alpha=1.1, npoint=1024, up_ratio=4).  The reference loads PU-Net
-weights from ``pu-in_1024-up_4.pth`` which is NOT shipped with the repo;
-here weights come from ``init``/checkpoint restore like any other model.
+sor_alpha=1.1, npoint=1024, up_ratio=4).  The reference hard-loads its
+trained upsampler from ``pu-in_1024-up_4.pth`` (shipped in the reference
+checkout); load it here via ``train.torch_port.port_punet`` — numeric
+parity with the real checkpoint is asserted in
+tests/test_reference_parity2.py::TestDUPNetShippedWeights — or init
+fresh weights / restore a checkpoint like any other model.
 """
 
 from __future__ import annotations

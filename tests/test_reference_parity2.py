@@ -74,6 +74,18 @@ def cpu_cuda(monkeypatch):
 
 
 @pytest.fixture
+def fps_start_zero(monkeypatch):
+    """Pin the reference FPS random start to 0 (pointnet2_utils.py:72
+    convention, also used by DUP_Net/pu_utils.py)."""
+
+    def zero_randint(*args, **kw):
+        size = args[-1]
+        return torch.zeros(size, dtype=kw.get("dtype", torch.long))
+
+    monkeypatch.setattr(torch, "randint", zero_randint)
+
+
+@pytest.fixture
 def symeig_shim(monkeypatch):
     """torch.symeig(L, eigenvectors=True) -> torch.linalg.eigh(L)."""
 
@@ -539,6 +551,58 @@ class TestCTASaliencyParity:
         np.testing.assert_allclose(g, w, rtol=0.05, atol=0.02 * scale)
         corr = np.corrcoef(g.ravel(), w.ravel())[0, 1]
         assert corr > 0.999, f"IG correlation {corr}"
+
+
+class TestDUPNetShippedWeights:
+    """The reference checkout SHIPS its trained DUP-Net upsampler
+    (attack/SIadv/baselines/defense/DUP_Net/pu-in_1024-up_4.pth,
+    hard-loaded by DUP_Net.py:24-28).  Port it with
+    train.torch_port.port_punet and assert forward parity of the real
+    trained weights — the defense the reference actually deploys."""
+
+    PTH = REF / "attack/SIadv/baselines/defense/DUP_Net/pu-in_1024-up_4.pth"
+
+    @pytest.mark.skipif(not PTH.exists(), reason="checkpoint not present")
+    def test_trained_punet_forward_parity(self, cpu_cuda, fps_start_zero):
+        import types as _types
+
+        base = "attack/SIadv/baselines/defense/DUP_Net"
+        pkg = _types.ModuleType("refdup2")
+        pkg.__path__ = [str(REF / base)]
+        sys.modules["refdup2"] = pkg
+        for name in ("pytorch_modules", "pu_utils", "pu_modules", "pu_net"):
+            src = (REF / base / f"{name}.py").read_text()
+            mod = _types.ModuleType(f"refdup2.{name}")
+            mod.__package__ = "refdup2"
+            sys.modules[f"refdup2.{name}"] = mod
+            exec(compile(src, f"{name}.py", "exec"), mod.__dict__)
+
+        sd = torch.load(self.PTH, map_location="cpu", weights_only=True)
+        ref = sys.modules["refdup2.pu_net"].PUNet(
+            npoint=1024, up_ratio=4, use_normal=False, use_bn=False,
+            use_res=False,
+        )
+        ref.load_state_dict(sd)  # strict: every shipped key consumed
+        ref.eval()
+
+        rng = np.random.RandomState(30)
+        x = rng.randn(1, 1024, 3).astype(np.float32)
+        x /= np.abs(x).max()
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()  # [1, 4096, 3]
+
+        from pointcloudattack_tpu.models.punet import PUNet
+        from pointcloudattack_tpu.train import torch_port
+
+        variables = torch_port.port_punet(sd, up_ratio=4)
+        model = PUNet(npoint=1024, up_ratio=4)
+        got = np.asarray(
+            jax.jit(lambda v, a: model.apply(v, a))(
+                {"params": variables["params"]}, jnp.asarray(x)
+            )
+        )
+        assert got.shape == want.shape == (1, 4096, 3)
+        np.testing.assert_allclose(got, want, atol=2e-3)
 
 
 class TestTrainingGradientParity:
