@@ -286,6 +286,22 @@ def _run_family(
         acfg = GeoA3Config(
             lr=args.attack_lr, binary_max_steps=args.binary_step or 10,
             iter_max_steps=args.num_iter or 500, targeted=targeted,
+            # the reference Eval_GeoA3 loss knobs (Eval_GeoA3.py:154-191;
+            # its knn_smoothing/laplacian/edge flags are declared but
+            # never used by GeoA3_attack._forward_step)
+            cls_loss_type=args.cls_loss_type,
+            confidence=args.confidence,
+            dis_loss_type=args.dis_loss_type,
+            dis_loss_weight=args.dis_loss_weight,
+            is_cd_single_side=bool(args.is_cd_single_side),
+            hd_loss_weight=args.hd_loss_weight,
+            curv_loss_weight=args.curv_loss_weight,
+            curv_loss_knn=args.curv_loss_knn,
+            initial_const=args.initial_const,
+            use_lr_scheduler=bool(args.use_lr_scheduler),
+            use_jitter=bool(args.use_jitter),
+            use_offset_proj=bool(args.use_offset_proj),
+            cc_linf=args.cc_linf,
         )
         adv, _, success = build_geoa3_attack(model_fn, acfg)(
             data, target, key
@@ -762,6 +778,25 @@ def build_parser():
     p.add_argument("--resample", type=int, default=0,
                    help="cw-robust: random half-resample before forward (0/1)")
     # geoa3-partial knobs (reference GeoA3_attack.py:259-306)
+    # GeoA3 loss knobs (reference Eval_GeoA3.py:147-191 defaults)
+    p.add_argument("--cls_loss_type", default="CE",
+                   choices=["CE", "Margin", "None"])
+    p.add_argument("--confidence", type=float, default=0.0,
+                   help="margin confidence (Margin cls loss)")
+    p.add_argument("--dis_loss_type", default="CD",
+                   choices=["CD", "L2", "None"])
+    p.add_argument("--dis_loss_weight", type=float, default=1.0)
+    p.add_argument("--is_cd_single_side", type=int, default=0)
+    p.add_argument("--hd_loss_weight", type=float, default=0.1)
+    p.add_argument("--curv_loss_weight", type=float, default=1.0)
+    p.add_argument("--curv_loss_knn", type=int, default=16)
+    p.add_argument("--initial_const", type=float, default=10.0)
+    p.add_argument("--use_lr_scheduler", type=int, default=0)
+    p.add_argument("--use_jitter", type=int, default=0,
+                   help="is_pre_jitter_input twin")
+    p.add_argument("--use_offset_proj", type=int, default=0,
+                   help="is_real_offset twin (project offsets on normals)")
+    p.add_argument("--cc_linf", type=float, default=0.0)
     p.add_argument("--knn_range", type=int, default=16,
                    help="geoa3-partial: patch size")
     p.add_argument("--refresh_iters", type=int, default=50,

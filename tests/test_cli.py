@@ -53,6 +53,30 @@ def test_attack_cw_cli(trained_run):
     assert cloud.shape == (64, 3)
 
 
+def test_attack_geoa3_loss_knobs_cli(trained_run):
+    """GeoA3 with the reference Eval_GeoA3 loss flags: Margin cls loss,
+    single-side CD, Hausdorff off, offset projection + Linf cap."""
+    out, ckpt = trained_run
+    asr = main([
+        "attack", "geoa3", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--binary_step", "2", "--num_iter", "60",
+        "--cls_loss_type", "Margin", "--confidence", "1.0",
+        "--dis_loss_type", "CD", "--is_cd_single_side", "1",
+        "--hd_loss_weight", "0", "--curv_loss_weight", "0.5",
+        "--use_offset_proj", "1", "--cc_linf", "0.5",
+        "--num_samples", "4", "--save_adv",
+    ])
+    assert 0.0 <= asr <= 1.0
+    # cc_linf semantics: every per-point displacement within the cap
+    adv_dir = os.path.join(out, "AdvData", "PointNet")
+    files = sorted(os.listdir(adv_dir))
+    assert files
+    cloud = np.loadtxt(os.path.join(adv_dir, files[0]))
+    assert cloud.shape == (64, 3)
+
+
 def test_attack_taof_cli(trained_run):
     """Targeted TAOF through the CLI: exercises the y_truth wiring (the
     success rule needs true labels, reference TAOF_attack.py:205-211)."""
