@@ -27,17 +27,18 @@ import optax
 
 @dataclasses.dataclass(frozen=True)
 class ISOConfig:
-    """Reference CLI defaults (iso_attack.py argparse)."""
+    """Reference CLI defaults (iso_attack.py:253-267 argparse:
+    step_size 5e-4, num_steps 50, LAMBDA 1000, num_init 50)."""
 
-    step_size: float = 0.01
-    num_steps: int = 200
-    lam: float = 1.0  # LAMBDA penalty weight
+    step_size: float = 5e-4
+    num_steps: int = 50
+    lam: float = 1000.0  # LAMBDA penalty weight
     kappa: float = 0.0
     targeted: bool = False
     bandit_d: int = 4
     bandit_a0: float = -np.pi
     bandit_b0: float = np.pi
-    num_init: int = 10
+    num_init: int = 50
     power_iters: int = 30
 
 

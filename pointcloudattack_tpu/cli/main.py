@@ -106,6 +106,34 @@ def _restore(cfg: RunConfig, model_name: str, path: str, variables):
     return restore_checkpoint(path, like=variables)
 
 
+def _surrogate_model_fn(args, cfg, num_classes):
+    """White-box surrogate for the SIadv families, or None.
+
+    The reference attacks a TARGET model with gradients from a separate
+    SURROGATE (Eval_SIadv.py:180-182, surrogate PointNet -> target
+    DGCNN); ``--surrogate_model/--surrogate_checkpoint`` reproduce that
+    split. Returns None when no surrogate is requested (white-box self).
+    """
+    if not getattr(args, "surrogate_model", ""):
+        return None
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    s_cfg = dataclasses_replace_model(cfg, args.surrogate_model)
+    s_model, s_vars = _build_model(s_cfg, num_classes)
+    s_vars = _restore(
+        s_cfg, args.surrogate_model, args.surrogate_checkpoint, s_vars
+    )
+    fn = make_model_fn(s_model, s_vars)
+    from pointcloudattack_tpu import models as _models
+
+    if _models.OUTPUT_KIND.get(args.surrogate_model) == "logits":
+        import jax.nn as _jnn
+
+        raw = fn
+        fn = lambda x: _jnn.log_softmax(raw(x), axis=-1)
+    return fn
+
+
 def cmd_train(args):
     from pointcloudattack_tpu import data as D
     from pointcloudattack_tpu import models
@@ -317,6 +345,7 @@ def _run_family(
             num_iter=args.num_iter or 200, budget=args.budget,
             kappa=args.kappa,
             targeted=(family == "taof"), low_pass=args.low_pass,
+            gamma=args.aof_gamma,
         )
         # the targeted TAOF success rule needs the TRUE labels for its
         # lfc_pred != y_truth clause (reference TAOF_attack.py:205-211)
@@ -341,8 +370,10 @@ def _run_family(
         acfg = SIAdvConfig(
             eps=args.budget, step_size=args.step_size,
             max_steps=args.num_iter or 50,
+            top5_attack=bool(args.top5_attack),
         )
-        adv, pred, success = build_si_ifgm(model_fn, model_fn, acfg)(
+        wb_fn = _surrogate_model_fn(args, cfg, num_classes) or model_fn
+        adv, pred, success = build_si_ifgm(wb_fn, model_fn, acfg)(
             data, target
         )
     elif family in ("simba", "simbapp", "si-query"):
@@ -350,19 +381,21 @@ def _run_family(
 
         kw = {"max_queries": args.num_iter} if args.num_iter else {}
         acfg = S.SIAdvConfig(
-            eps=args.budget, step_size=args.step_size, **kw
+            eps=args.budget, step_size=args.step_size,
+            top5_attack=bool(args.top5_attack), **kw
         )
+        wb_fn = _surrogate_model_fn(args, cfg, num_classes) or model_fn
         if family == "simba":
             adv, pred, success, queries = S.build_simba(model_fn, acfg)(
                 data, target, key
             )
         elif family == "simbapp":
             adv, pred, success, queries = S.build_simbapp(
-                model_fn, model_fn, acfg
+                wb_fn, model_fn, acfg
             )(data, target, key)
         else:
             adv, pred, success, queries = S.build_si_query_attack(
-                model_fn, model_fn, acfg
+                wb_fn, model_fn, acfg
             )(data, target)
         print(f"mean query cost: {np.asarray(queries).mean():.1f}")
     elif family == "cta":
@@ -371,7 +404,13 @@ def _run_family(
             build_cta_attack,
         )
 
-        acfg = CTAConfig(target_mode=args.cta_target_mode)
+        acfg = CTAConfig(
+            target_mode=args.cta_target_mode,
+            # CTA_sumloss twin (reference CTA_sumloss.py:171-178) /
+            # CTA.py's penalize_dis chamfer variant (CTA.py:166-173)
+            penalize_dis=args.cta_penalize_dis,
+            beta=args.cta_beta,
+        )
         adv, pred, success, steps = build_cta_attack(model_fn, acfg)(
             data, target, key
         )
@@ -384,7 +423,8 @@ def _run_family(
         grad_attack = I.build_gradient_iso_attack(
             model_fn,
             I.ISOConfig(step_size=args.iso_step_size,
-                        num_steps=args.num_iter or 200),
+                        num_steps=args.num_iter or 50,
+                        lam=args.iso_lambda),
         )
         tsi_probe = I.build_tsi_probe(model_fn)
         def true_prob(obj, lab):
@@ -736,19 +776,40 @@ def build_parser():
     p.add_argument("--budget", type=float, default=0.18)
     p.add_argument("--step_size", type=float, default=0.07,
                    help="SIadv/SimBA step size (reference default 0.07)")
-    p.add_argument("--iso_step_size", type=float, default=0.01,
+    p.add_argument("--iso_step_size", type=float, default=5e-4,
                    help="ISO CTRI Adam lr (reference iso_attack.py "
-                        "default 0.01 — separate from --step_size)")
+                        "default 5e-4 — separate from --step_size)")
     p.add_argument("--low_pass", type=int, default=100)
+    p.add_argument("--aof_gamma", type=float, default=0.5,
+                   help="AOF full/lfc adv-loss blend "
+                        "(reference TAOF_attack.py:60 GAMMA)")
     p.add_argument("--num_add", type=int, default=512)
     p.add_argument("--init_weight", type=float, default=0.0,
                    help="binary-search weight init (0 = family default)")
     p.add_argument("--max_weight", type=float, default=0.0,
                    help="binary-search weight cap (0 = family default)")
-    p.add_argument("--num_init", type=int, default=10)
+    p.add_argument("--num_init", type=int, default=50,
+                   help="ISO TSI random-rotation tries "
+                        "(reference iso_attack.py default 50)")
+    p.add_argument("--iso_lambda", type=float, default=1000.0,
+                   help="ISO spectral-penalty weight (reference LAMBDA)")
+    p.add_argument("--top5_attack", action="store_true",
+                   help="SIadv top-5 success rule "
+                        "(reference SIadv_attack.py:156-158)")
+    p.add_argument("--surrogate_model", default="",
+                   help="SIadv white-box surrogate (reference "
+                        "Eval_SIadv.py:180: surrogate PointNet -> "
+                        "target model); empty = use the victim")
+    p.add_argument("--surrogate_checkpoint", default="",
+                   help="checkpoint for --surrogate_model")
     p.add_argument("--num_samples", type=int, default=0,
                    help="0 = whole dataset")
     p.add_argument("--cta_target_mode", default="untarget")
+    p.add_argument("--cta_penalize_dis", default="none",
+                   choices=["none", "chamfer", "hausdorff"],
+                   help="'hausdorff' = the CTA_sumloss runner, "
+                        "'chamfer' = CTA.py penalize_dis")
+    p.add_argument("--cta_beta", type=float, default=1.0)
     p.add_argument("--save_adv", action="store_true")
     p.add_argument("--compute_dtype", default="f32",
                    choices=["f32", "bf16"],

@@ -77,6 +77,20 @@ def test_attack_geoa3_loss_knobs_cli(trained_run):
     assert cloud.shape == (64, 3)
 
 
+def test_attack_siadv_surrogate_cli(trained_run):
+    """Surrogate/target split: gradients from a separate white-box model
+    (reference Eval_SIadv.py:180-182 surrogate -> target)."""
+    out, ckpt = trained_run
+    asr = main([
+        "attack", "si-query", "--dataset", "synthetic",
+        "--model", "PointNet", "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--surrogate_model", "PointNet", "--surrogate_checkpoint", ckpt,
+        "--step_size", "0.4", "--budget", "0.45", "--num_samples", "4",
+    ])
+    assert 0.0 <= asr <= 1.0
+
+
 def test_attack_taof_cli(trained_run):
     """Targeted TAOF through the CLI: exercises the y_truth wiring (the
     success rule needs true labels, reference TAOF_attack.py:205-211)."""
