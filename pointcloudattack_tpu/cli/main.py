@@ -512,7 +512,8 @@ def _run_family(
         acfg = AddClustersConfig(
             attack_lr=args.attack_lr, binary_step=args.binary_step or 5,
             num_iter=args.num_iter or 500, targeted=targeted,
-            kappa=args.kappa, **kw,
+            kappa=args.kappa, num_add=args.cl_num_add,
+            cl_num_p=args.cl_num_p, **kw,
         )
         adv, added, dist, success = build_add_clusters_attack(
             model_fn, acfg
@@ -783,7 +784,14 @@ def build_parser():
     p.add_argument("--aof_gamma", type=float, default=0.5,
                    help="AOF full/lfc adv-loss blend "
                         "(reference TAOF_attack.py:60 GAMMA)")
-    p.add_argument("--num_add", type=int, default=512)
+    p.add_argument("--num_add", type=int, default=512,
+                   help="add-points: points added (IndpAdd default 512)")
+    p.add_argument("--cl_num_add", type=int, default=3,
+                   help="add-clusters: cluster count "
+                        "(Eval_ClusterAdd.py:94 default 3)")
+    p.add_argument("--cl_num_p", type=int, default=32,
+                   help="add-clusters: points per cluster "
+                        "(Eval_ClusterAdd.py:92 default 32)")
     p.add_argument("--init_weight", type=float, default=0.0,
                    help="binary-search weight init (0 = family default)")
     p.add_argument("--max_weight", type=float, default=0.0,

@@ -77,6 +77,21 @@ def test_attack_geoa3_loss_knobs_cli(trained_run):
     assert cloud.shape == (64, 3)
 
 
+def test_attack_add_clusters_cli(trained_run):
+    """Cluster-adding attack with the reference cluster-shape knobs."""
+    out, ckpt = trained_run
+    asr = main([
+        "attack", "add-clusters", "--dataset", "synthetic",
+        "--model", "PointNet", "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--binary_step", "2", "--num_iter", "40", "--kappa", "0",
+        "--cl_num_add", "2", "--cl_num_p", "8",
+        "--init_weight", "0.5", "--max_weight", "10",
+        "--num_samples", "3",
+    ])
+    assert 0.0 <= asr <= 1.0
+
+
 def test_attack_siadv_surrogate_cli(trained_run):
     """Surrogate/target split: gradients from a separate white-box model
     (reference Eval_SIadv.py:180-182 surrogate -> target)."""
