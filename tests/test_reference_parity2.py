@@ -721,6 +721,85 @@ class TestTrainingGradientParity:
         )
 
 
+class TestISOComponentParity:
+    """attacks/iso.py vs the importable reference ISO modules
+    (attack/ISO/isometry_init.py, thompson_sample.py — iso_attack.py
+    itself imports open3d and cannot load in this image)."""
+
+    @staticmethod
+    def _ref_modules():
+        iso_dir = str(REF / "attack" / "ISO")
+        if iso_dir not in sys.path:
+            sys.path.insert(0, iso_dir)
+        import isometry_init as ref_iso
+
+        return ref_iso
+
+    def test_rotation_xyz_matrix(self):
+        """Degenerate interval [theta, theta] pins the reference's
+        internal np.random.uniform draw to theta exactly."""
+        from pointcloudattack_tpu.attacks.iso import rotation_xyz
+
+        ref_iso = self._ref_modules()
+        angles = np.array([0.3, -1.2, 2.5])
+        want = ref_iso.rotation_xyz(a=angles, b=angles)
+        got = rotation_xyz(angles)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_reflection_matrix(self):
+        from pointcloudattack_tpu.attacks.iso import reflection
+
+        ref_iso = self._ref_modules()
+        angles = np.array([0.7, 1.9, 0.0])
+        want = ref_iso.reflection(a=angles, b=angles)
+        got = reflection(angles)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        # householder: orthogonal with det -1
+        assert abs(np.linalg.det(got) + 1.0) < 1e-9
+
+    def test_bandit_action_sequence(self):
+        """Same Beta-posterior draws -> same arm sequence and identical
+        alpha/beta state after identical rewards
+        (thompson_sample.py:56-81)."""
+        self._ref_modules()
+        import thompson_sample as ref_ts
+
+        from pointcloudattack_tpu.attacks.iso import BernThompson
+
+        env = ref_ts.environment(d=4, a0=-np.pi, b0=np.pi)
+        ref_bandit = ref_ts.BernThompson(env)
+        np.random.seed(99)
+
+        ours = BernThompson(d=4, a0=-np.pi, b0=np.pi, seed=99)
+
+        rewards = [0, 1, 0, 0, 1, 1, 0, 1]
+        for r in rewards:
+            ref_arm = ref_bandit.get_action()
+            our_arm = ours.get_action()
+            assert tuple(ref_arm) == tuple(our_arm)
+            ref_bandit._update_params(ref_arm, r)
+            ours.update(our_arm, r)
+        np.testing.assert_array_equal(ours.alpha, ref_bandit.alpha)
+        np.testing.assert_array_equal(ours.beta, ref_bandit.beta)
+
+    def test_apply_iso_is_torch_linear(self, cpu_cuda):
+        """apply_iso == nn.Linear(3,3,bias=False) on channels-last
+        clouds (reference ISOnet, iso_attack.py:89-101)."""
+        from pointcloudattack_tpu.attacks.iso import apply_iso
+
+        torch.manual_seed(41)
+        lin = torch.nn.Linear(3, 3, bias=False)
+        x = RNG.randn(2, 50, 3).astype(np.float32)
+        with torch.no_grad():
+            want = lin(torch.from_numpy(x)).numpy()
+        got = np.asarray(
+            apply_iso(
+                jnp.asarray(x), jnp.asarray(lin.weight.detach().numpy())
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 class TestTAOFEndToEnd:
     """Reference CWTAOF (attack/AOF/TAOF_attack.py:83-244) vs attacks.aof
     targeted mode on the same exported victim."""
