@@ -106,6 +106,18 @@ def _restore(cfg: RunConfig, model_name: str, path: str, variables):
     return restore_checkpoint(path, like=variables)
 
 
+def _normalize_output(fn, model_name: str):
+    """Raw-logit models (CurveNet) -> log-probs, so CE-based attack
+    losses stay correct (margin losses are shift-invariant)."""
+    from pointcloudattack_tpu import models as _models
+
+    if _models.OUTPUT_KIND.get(model_name) != "logits":
+        return fn
+    import jax.nn as _jnn
+
+    return lambda x: _jnn.log_softmax(fn(x), axis=-1)
+
+
 def _surrogate_model_fn(args, cfg, num_classes):
     """White-box surrogate for the SIadv families, or None.
 
@@ -116,6 +128,11 @@ def _surrogate_model_fn(args, cfg, num_classes):
     """
     if not getattr(args, "surrogate_model", ""):
         return None
+    if not args.surrogate_checkpoint:
+        raise SystemExit(
+            "--surrogate_model requires --surrogate_checkpoint "
+            "(a randomly initialized surrogate gives useless gradients)"
+        )
     from pointcloudattack_tpu.utils.apply import make_model_fn
 
     s_cfg = dataclasses_replace_model(cfg, args.surrogate_model)
@@ -123,15 +140,9 @@ def _surrogate_model_fn(args, cfg, num_classes):
     s_vars = _restore(
         s_cfg, args.surrogate_model, args.surrogate_checkpoint, s_vars
     )
-    fn = make_model_fn(s_model, s_vars)
-    from pointcloudattack_tpu import models as _models
-
-    if _models.OUTPUT_KIND.get(args.surrogate_model) == "logits":
-        import jax.nn as _jnn
-
-        raw = fn
-        fn = lambda x: _jnn.log_softmax(raw(x), axis=-1)
-    return fn
+    return _normalize_output(
+        make_model_fn(s_model, s_vars), args.surrogate_model
+    )
 
 
 def cmd_train(args):
@@ -384,16 +395,22 @@ def _run_family(
             eps=args.budget, step_size=args.step_size,
             top5_attack=bool(args.top5_attack), **kw
         )
-        wb_fn = _surrogate_model_fn(args, cfg, num_classes) or model_fn
         if family == "simba":
+            if getattr(args, "surrogate_model", ""):
+                raise SystemExit(
+                    "simba is pure black-box — it takes no surrogate "
+                    "(use simbapp or si-query for surrogate gradients)"
+                )
             adv, pred, success, queries = S.build_simba(model_fn, acfg)(
                 data, target, key
             )
         elif family == "simbapp":
+            wb_fn = _surrogate_model_fn(args, cfg, num_classes) or model_fn
             adv, pred, success, queries = S.build_simbapp(
                 wb_fn, model_fn, acfg
             )(data, target, key)
         else:
+            wb_fn = _surrogate_model_fn(args, cfg, num_classes) or model_fn
             adv, pred, success, queries = S.build_si_query_attack(
                 wb_fn, model_fn, acfg
             )(data, target)
@@ -554,16 +571,10 @@ def cmd_attack(args):
     compute_dtype = (
         jnp.bfloat16 if args.compute_dtype == "bf16" else None
     )
-    model_fn = make_model_fn(model, variables, compute_dtype=compute_dtype)
-    from pointcloudattack_tpu import models as _models
-
-    if _models.OUTPUT_KIND.get(cfg.model) == "logits":
-        # CurveNet emits raw logits; normalize to log-probs so CE-based
-        # attack losses stay correct (margin losses are shift-invariant)
-        import jax.nn as _jnn
-
-        raw_fn = model_fn
-        model_fn = lambda x: _jnn.log_softmax(raw_fn(x), axis=-1)
+    model_fn = _normalize_output(
+        make_model_fn(model, variables, compute_dtype=compute_dtype),
+        cfg.model,
+    )
     if args.defense != "none":
         from pointcloudattack_tpu.attacks.evaluation import with_defense
 

@@ -47,7 +47,7 @@ def test_attack_cw_cli(trained_run):
     )
     assert summary["family"] == "cw"
     adv_dir = os.path.join(out, "AdvData", "PointNet")
-    files = os.listdir(adv_dir)
+    files = [f for f in os.listdir(adv_dir) if f.startswith("cw_")]
     assert len(files) == 6
     cloud = np.loadtxt(os.path.join(adv_dir, files[0]))
     assert cloud.shape == (64, 3)
@@ -69,12 +69,21 @@ def test_attack_geoa3_loss_knobs_cli(trained_run):
         "--num_samples", "4", "--save_adv",
     ])
     assert 0.0 <= asr <= 1.0
-    # cc_linf semantics: every per-point displacement within the cap
+    # cc_linf semantics: per-point displacement of each geoa3 dump stays
+    # within the cap (compare against the same synthetic test clouds the
+    # CLI attacked: first 4 of make_synthetic_clouds(3, 16, 64, seed=0))
+    from pointcloudattack_tpu.data.synthetic import make_synthetic_clouds
+
+    clouds, _ = make_synthetic_clouds(3, 16, 64, seed=0)
     adv_dir = os.path.join(out, "AdvData", "PointNet")
-    files = sorted(os.listdir(adv_dir))
-    assert files
-    cloud = np.loadtxt(os.path.join(adv_dir, files[0]))
-    assert cloud.shape == (64, 3)
+    files = sorted(f for f in os.listdir(adv_dir) if f.startswith("geoa3_"))
+    assert len(files) == 4
+    for f in files:
+        i = int(f.split("_")[1])
+        cloud = np.loadtxt(os.path.join(adv_dir, f))
+        assert cloud.shape == (64, 3)
+        disp = np.linalg.norm(cloud - clouds[i], axis=-1)
+        assert disp.max() <= 0.5 + 1e-5, f
 
 
 def test_attack_add_clusters_cli(trained_run):

@@ -595,7 +595,7 @@ class TestShippedAdvData:
             "--output_dir", str(tmp_path),
         ])
         out = capsys.readouterr().out
-        assert "2 clouds" in out or "recovered" in out or out
+        assert "/2 recovered to true label" in out
 
 
 class TestDUPNetShippedWeights:
