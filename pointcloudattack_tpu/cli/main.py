@@ -915,6 +915,10 @@ def main(argv=None):
 
     enable_persistent_cache()
     args = build_parser().parse_args(argv)
+    if getattr(args, "debug_nans", False):
+        from pointcloudattack_tpu.utils.logging import enable_debug_nans
+
+        enable_debug_nans()
     return args.fn(args)
 
 

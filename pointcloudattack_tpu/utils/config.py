@@ -56,6 +56,10 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--gather_mode", default=d.gather_mode,
                         help="DGCNN neighbour gather: exact | hilo | bf16")
     parser.add_argument("--feature_transform", action="store_true")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans — the moral "
+                             "equivalent of the reference's dist-matrix "
+                             "sanity asserts (SOR.py:39), SURVEY §5.2")
     return parser
 
 
