@@ -672,15 +672,23 @@ def cmd_attack(args):
         summary["shuffle_asr"] = shuf
         print(f"shuffle-robust ASR: {shuf:.3f}")
         if args.transfer_test and cfg.trans_model:
-            t_model, t_vars = _build_model(
-                dataclasses_replace_model(cfg, cfg.trans_model), num_classes
-            )
-            t_vars = _restore(
-                cfg, cfg.trans_model, cfg.trans_checkpoint, t_vars
-            )
+            # --trans_model/--trans_checkpoint accept comma-separated
+            # panels — the reference KNN/GeoA3 attacks self-test against
+            # up to 5 models (KNN_attack.py:175-240, GeoA3:407-471)
+            names = [m for m in cfg.trans_model.split(",") if m]
+            ckpts = [c for c in (cfg.trans_checkpoint or "").split(",")]
+            ckpts += [""] * (len(names) - len(ckpts))
+            panel = {}
+            for t_name, t_ckpt in zip(names, ckpts):
+                t_model, t_vars = _build_model(
+                    dataclasses_replace_model(cfg, t_name), num_classes
+                )
+                t_vars = _restore(cfg, t_name, t_ckpt, t_vars)
+                panel[t_name] = _normalize_output(
+                    make_model_fn(t_model, t_vars), t_name
+                )
             mat = transfer_matrix(
-                {cfg.trans_model: make_model_fn(t_model, t_vars)},
-                adv_j, jnp.asarray(labels), targeted=targeted,
+                panel, adv_j, jnp.asarray(labels), targeted=targeted,
             )
             summary["transfer_asr"] = mat
             print(f"transfer ASR: {mat}")

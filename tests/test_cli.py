@@ -175,6 +175,26 @@ def test_attack_with_transfer_and_shuffle(trained_run):
     assert "transfer_asr" in summary
 
 
+def test_attack_transfer_panel(trained_run):
+    """Comma-separated --trans_model runs a multi-model transfer panel
+    (the reference KNN/GeoA3 attacks self-test against up to 5 models)."""
+    out, ckpt = trained_run
+    main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--trans_model", "PointNet,DGCNN",
+        "--trans_checkpoint", f"{ckpt},",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--binary_step", "1", "--num_iter", "30", "--kappa", "0",
+        "--budget", "0.45", "--num_samples", "3", "--transfer_test",
+    ])
+    summary = json.load(open(os.path.join(out, "attack_cw_summary.json")))
+    mat = summary["transfer_asr"]
+    assert set(mat) == {"PointNet", "DGCNN"}
+    for v in mat.values():
+        assert 0.0 <= v <= 1.0
+
+
 def test_attack_top1_error(trained_run):
     out, ckpt = trained_run
     main([
