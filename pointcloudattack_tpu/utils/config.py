@@ -28,7 +28,7 @@ class RunConfig:
     k: int = 20
     emb_dims: int = 1024
     dropout: float = 0.5
-    gather_mode: str = "exact"  # DGCNN: exact | hilo | bf16
+    gather_mode: str = "auto"  # DGCNN: auto | exact | tri | hilo | bf16
     feature_transform: bool = False
 
 
@@ -54,7 +54,7 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--emb_dims", type=int, default=d.emb_dims)
     parser.add_argument("--dropout", type=float, default=d.dropout)
     parser.add_argument("--gather_mode", default=d.gather_mode,
-                        help="DGCNN neighbour gather: exact | hilo | bf16")
+                        help="DGCNN neighbour gather: auto (tri on TPU, exact elsewhere) | exact | tri | hilo | bf16")
     parser.add_argument("--feature_transform", action="store_true")
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax_debug_nans — the moral "

@@ -110,8 +110,8 @@ def test_train_mode_updates_batch_stats():
 
 
 def test_dgcnn_gather_modes_agree():
-    """hilo (two bf16 limbs) must track the exact gather closely; bf16
-    (one limb) more loosely — both stay valid log-prob distributions."""
+    """tri (three truncated limbs) must match the exact gather to f32
+    noise; hilo (two limbs) closely; bf16 (one limb) more loosely."""
     import jax
     import jax.numpy as jnp
     from pointcloudattack_tpu import models
@@ -119,12 +119,54 @@ def test_dgcnn_gather_modes_agree():
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
     outs = {}
-    for mode in ("exact", "hilo", "bf16"):
+    for mode in ("exact", "tri", "hilo", "bf16"):
         model = models.make_model(
             "DGCNN", 6, emb_dims=64, gather_mode=mode
         )
         variables = models.init_model(model, jax.random.PRNGKey(0), 128, 1)
         out, _ = model.apply(variables, x, train=False)
         outs[mode] = np.asarray(out)
+    np.testing.assert_allclose(outs["tri"], outs["exact"], atol=1e-5)
     np.testing.assert_allclose(outs["hilo"], outs["exact"], atol=2e-3)
     np.testing.assert_allclose(outs["bf16"], outs["exact"], atol=0.1)
+
+
+def test_bf16_limb_decomposition_exact():
+    """Three truncation limbs reconstruct f32 bit-exactly — and the
+    limbs are NON-ZERO (the astype round-trip variant was folded to
+    zero by XLA's excess-precision pass on TPU; the bitcast masking
+    must survive everywhere)."""
+    import jax
+    import jax.numpy as jnp
+    from pointcloudattack_tpu.models.dgcnn import _bf16_limbs
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray((rng.randn(64, 32) * 100).astype(np.float32))
+    limbs = jax.jit(lambda a: _bf16_limbs(a, 3))(x)
+    assert all(float(jnp.abs(l).max()) > 0 for l in limbs)
+    recon = sum(l.astype(jnp.float32) for l in limbs)
+    np.testing.assert_array_equal(np.asarray(recon), np.asarray(x))
+
+
+def test_tri_gather_value_and_grad_match_exact():
+    """graph_feature 'tri' equals 'exact' in value (f32) and gradient
+    (the custom_vjp backward is the exact one-hot transpose)."""
+    import jax
+    import jax.numpy as jnp
+    from pointcloudattack_tpu.models.dgcnn import graph_feature
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 96, 16).astype(np.float32))
+
+    f_exact = jax.jit(lambda a: graph_feature(a, 8, "exact"))
+    f_tri = jax.jit(lambda a: graph_feature(a, 8, "tri"))
+    np.testing.assert_allclose(
+        np.asarray(f_tri(x)), np.asarray(f_exact(x)), atol=1e-6
+    )
+
+    w = jnp.asarray(rng.randn(2, 96, 8, 32).astype(np.float32))
+    g_exact = jax.grad(lambda a: jnp.sum(graph_feature(a, 8, "exact") * w))(x)
+    g_tri = jax.grad(lambda a: jnp.sum(graph_feature(a, 8, "tri") * w))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_tri), np.asarray(g_exact), rtol=1e-5, atol=1e-5
+    )
