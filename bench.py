@@ -53,11 +53,18 @@ def _time_enqueued(run, fetch, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
-def _mfu(jitted, dt, *args):
+def _mfu(jitted, dt, *args, iters=1):
+    """Model FLOP utilization of one call taking ``dt`` seconds.
+
+    XLA's cost_analysis counts a ``lax.scan`` body ONCE regardless of
+    trip count, so the caller passes the loop count explicitly (for the
+    attack jits: binary_step * num_iter) — without it the CW MFU reads
+    ~0.001 instead of the real ~0.16 (see BENCH.md roofline section).
+    """
     try:
         ca = jitted.lower(*args).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
-        return round(float(ca["flops"]) / dt / PEAK_FLOPS, 4)
+        return round(float(ca["flops"]) * iters / dt / PEAK_FLOPS, 4)
     except Exception:
         return None
 
@@ -88,7 +95,10 @@ def bench_cw(compute_dtype=None):
     return {
         "clouds_per_sec": round(BATCH / dt, 3),
         "sec_per_batch": round(dt, 4),
-        "mfu": _mfu(attack, dt, data, target, jax.random.PRNGKey(0)),
+        "mfu": _mfu(
+            attack, dt, data, target, jax.random.PRNGKey(0),
+            iters=BINARY_STEPS * NUM_ITER,
+        ),
     }
 
 
@@ -113,7 +123,10 @@ def bench_aof():
     return {
         "clouds_per_sec": round(b / dt, 3),
         "sec_per_batch": round(dt, 4),
-        "mfu": _mfu(attack, dt, data, target, jax.random.PRNGKey(0)),
+        "mfu": _mfu(
+            attack, dt, data, target, jax.random.PRNGKey(0),
+            iters=cfg.binary_step * cfg.num_iter,
+        ),
     }
 
 
@@ -140,7 +153,7 @@ def bench_si_ifgm():
     return {
         "clouds_per_sec": round(b / dt, 3),
         "sec_per_batch": round(dt, 4),
-        "mfu": _mfu(attack, dt, data, target),
+        "mfu": _mfu(attack, dt, data, target, iters=cfg.max_steps),
     }
 
 
