@@ -59,7 +59,9 @@ def _mfu(jitted, dt, *args, iters=1):
     XLA's cost_analysis counts a ``lax.scan`` body ONCE regardless of
     trip count, so the caller passes the loop count explicitly (for the
     attack jits: binary_step * num_iter) — without it the CW MFU reads
-    ~0.001 instead of the real ~0.16 (see BENCH.md roofline section).
+    ~0.001 instead of the measured 0.24 (BENCH.md roofline section).
+    Approximate: one-time out-of-scan work (e.g. AOF's spectral basis)
+    is also multiplied, so loop-light families read slightly high.
     """
     try:
         ca = jitted.lower(*args).compile().cost_analysis()

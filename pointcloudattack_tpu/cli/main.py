@@ -674,17 +674,27 @@ def cmd_attack(args):
         if args.transfer_test and cfg.trans_model:
             # --trans_model/--trans_checkpoint accept comma-separated
             # panels — the reference KNN/GeoA3 attacks self-test against
-            # up to 5 models (KNN_attack.py:175-240, GeoA3:407-471)
-            names = [m for m in cfg.trans_model.split(",") if m]
-            ckpts = [c for c in (cfg.trans_checkpoint or "").split(",")]
+            # up to 5 models (KNN_attack.py:175-240, GeoA3:407-471).
+            # Pairing is positional BEFORE dropping empty slots, and
+            # duplicate model names get #i suffixes so two checkpoints
+            # of the same architecture both appear in the matrix.
+            names = cfg.trans_model.split(",")
+            ckpts = (cfg.trans_checkpoint or "").split(",")
             ckpts += [""] * (len(names) - len(ckpts))
             panel = {}
             for t_name, t_ckpt in zip(names, ckpts):
+                if not t_name:
+                    continue
                 t_model, t_vars = _build_model(
                     dataclasses_replace_model(cfg, t_name), num_classes
                 )
                 t_vars = _restore(cfg, t_name, t_ckpt, t_vars)
-                panel[t_name] = _normalize_output(
+                key_name = t_name
+                i = 2
+                while key_name in panel:
+                    key_name = f"{t_name}#{i}"
+                    i += 1
+                panel[key_name] = _normalize_output(
                     make_model_fn(t_model, t_vars), t_name
                 )
             mat = transfer_matrix(

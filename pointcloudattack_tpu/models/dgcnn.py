@@ -70,6 +70,10 @@ def _bf16_limbs(x: jax.Array, num: int) -> list[jax.Array]:
     exact (same-exponent cancellation), so 3 truncation limbs
     (8+8+8 significand bits) reconstruct the f32 value exactly.
     """
+    if x.dtype == jnp.bfloat16:
+        # bf16 inputs (compute_dtype=bf16 path) ARE a single exact limb
+        return [x]
+    x = x.astype(jnp.float32)
     limbs = []
     rem = x
     for _ in range(num - 1):
@@ -116,7 +120,9 @@ def graph_feature(
         n = x.shape[1]
         onehot = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)
         num_limbs = {"bf16": 1, "hilo": 2, "tri": 3}[gather_mode]
-        nbr = _onehot_limb_gather(x, onehot, num_limbs)
+        # f32 accumulation inside; restore the input dtype so the bf16
+        # compute path (make_model_fn compute_dtype=bf16) stays bf16
+        nbr = _onehot_limb_gather(x, onehot, num_limbs).astype(x.dtype)
     elif gather_mode == "exact":
         nbr = index_points(x, idx)  # [B, N, k, C]
     else:

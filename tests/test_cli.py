@@ -195,6 +195,25 @@ def test_attack_transfer_panel(trained_run):
         assert 0.0 <= v <= 1.0
 
 
+def test_attack_transfer_panel_duplicate_arch(trained_run):
+    """Two checkpoints of the same architecture both appear (suffix keys),
+    and positional name<->checkpoint pairing survives empty slots."""
+    out, ckpt = trained_run
+    main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--trans_model", "PointNet,PointNet",
+        "--trans_checkpoint", f"{ckpt},",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--binary_step", "1", "--num_iter", "30", "--kappa", "0",
+        "--budget", "0.45", "--num_samples", "3", "--transfer_test",
+    ])
+    summary = json.load(open(os.path.join(out, "attack_cw_summary.json")))
+    mat = summary["transfer_asr"]
+    # trained checkpoint + random-weight second instance, both present
+    assert set(mat) == {"PointNet", "PointNet#2"}
+
+
 def test_attack_top1_error(trained_run):
     out, ckpt = trained_run
     main([

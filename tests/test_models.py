@@ -148,6 +148,28 @@ def test_bf16_limb_decomposition_exact():
     np.testing.assert_array_equal(np.asarray(recon), np.asarray(x))
 
 
+def test_limb_gather_bf16_input():
+    """bf16 inputs (the compute_dtype=bf16 path) must flow through the
+    MXU gather modes without the uint32 bitcast crashing, stay bf16,
+    and match the exact gather bitwise (bf16 is one exact limb)."""
+    import jax
+    import jax.numpy as jnp
+    from pointcloudattack_tpu.models.dgcnn import graph_feature
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    out_exact = jax.jit(lambda a: graph_feature(a, 4, "exact"))(x)
+    for mode in ("tri", "hilo", "bf16"):
+        out = jax.jit(lambda a, m=mode: graph_feature(a, 4, m))(x)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(out, dtype=np.float32),
+            np.asarray(out_exact, dtype=np.float32),
+        )
+
+
 def test_tri_gather_value_and_grad_match_exact():
     """graph_feature 'tri' equals 'exact' in value (f32) and gradient
     (the custom_vjp backward is the exact one-hot transpose)."""
