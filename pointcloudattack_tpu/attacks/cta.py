@@ -187,8 +187,17 @@ def build_cta_attack(model_fn: Callable, cfg: CTAConfig):
             succ, _ = success_now(x_new)
             done_new = done | succ
 
-            # rolling activation window bookkeeping (per example)
-            act = objective(x_new)
+            # rolling activation window bookkeeping (per example).
+            # The stagnation signal is the ORIGINAL class's activation
+            # ALONE, like the reference (CTA.py:225-278 windows
+            # layer_out[0][unit_to_opt], not the optimized margin).
+            # Documented deviation: the reference hooks the RAW fc3
+            # logits; our models emit log-probs, whose logsumexp drift
+            # keeps this signal decreasing a bit longer, so this loop
+            # gives up later than the reference — measured strictly
+            # STRONGER (tests/test_reference_parity2.py::TestCTAEndToEnd
+            # asserts non-inferiority)
+            act = jnp.sum(one_hot_ori * model_fn(x_new), axis=-1)
             window = jnp.roll(window, -1, axis=0).at[-1].set(act)
             cur_step = jnp.where(frozen, cur_step, cur_step + 1)  # [B]
             at_check = (cur_step >= cfg.window) & (

@@ -871,6 +871,171 @@ class TestGeoA3EndToEnd:
         )
 
 
+class TestAddPointsEndToEnd:
+    """Reference CWAdd (attack/Gen3DAdv/IndpAdd_attack.py:45-290) vs
+    attacks.gen3dadv.build_add_points_attack — fifth attack family with
+    measured end-to-end reference parity (critical-point seeding + CW
+    binary search over ONLY the added points)."""
+
+    N_SAMPLES = 4
+    BINARY = 2
+    ITERS = 60
+    NUM_ADD = 16
+
+    def test_addpoints_asr_parity(self, cpu_cuda, trained_pointnet):
+        import attack.Gen3DAdv.IndpAdd_attack as ia
+        from attack.CW.CW_utils.adv_utils import UntargetedLogitsAdvLoss
+        from attack.CW.CW_utils.dist_utils import ChamferDist
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu.attacks.gen3dadv import (
+            AddPointsConfig,
+            build_add_points_attack,
+        )
+        from pointcloudattack_tpu.train import torch_port
+
+        model, variables, clouds, labels = trained_pointnet
+        clouds = np.asarray(clouds, dtype=np.float32)
+        labels = np.asarray(labels)
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+
+        torch.manual_seed(29)
+        attacker = ia.CWAdd(
+            model=ref_model, trans_model=ref_model,
+            adv_func=UntargetedLogitsAdvLoss(kappa=0.0),
+            dist_func=ChamferDist(method="adv2ori"),
+            attack_lr=1e-2, binary_step=self.BINARY,
+            num_iter=self.ITERS, num_add=self.NUM_ADD,
+            attack_method="untarget",
+        )
+        ref_succ = 0
+        for i in range(self.N_SAMPLES):
+            _, _, success_num = attacker.attack(
+                torch.from_numpy(clouds[i : i + 1]),
+                torch.from_numpy(labels[i : i + 1]),
+            )
+            ref_succ += int(success_num)
+        ref_asr = ref_succ / self.N_SAMPLES
+
+        def model_fn(x):
+            out, _ = model.apply(variables, x, train=False)
+            return out
+
+        cfg = AddPointsConfig(
+            attack_lr=1e-2, binary_step=self.BINARY, num_iter=self.ITERS,
+            num_add=self.NUM_ADD, kappa=0.0, targeted=False,
+        )
+        _, _, _, success = build_add_points_attack(model_fn, cfg)(
+            jnp.asarray(clouds[: self.N_SAMPLES]),
+            jnp.asarray(labels[: self.N_SAMPLES]),
+            jax.random.PRNGKey(0),
+        )
+        our_asr = float(np.mean(np.asarray(success)))
+        assert abs(our_asr - ref_asr) <= 1.0 / self.N_SAMPLES + 1e-9, (
+            f"AddPoints ASR ref={ref_asr} ours={our_asr}"
+        )
+
+
+class TestCTAEndToEnd:
+    """Reference CTA act_max (attack/CTA/CTA.py:58-286) vs
+    attacks.cta.build_cta_attack — sixth attack family with measured
+    end-to-end reference parity.
+
+    Reference quirks handled:
+      * when stagnation exhausts every patch size before the
+        15000-step cap, act_max falls off the end of its for loop and
+        returns None (the 'Fail' return at CTA.py:283-286 is
+        unreachable on that path) — treated as a failed attack;
+      * the saliency helper hard-codes a 2-row one-hot
+        (vanilla_gradient.py:11,20-21 set_size=2) while Eval_CTA feeds
+        batch_size=1 — the shipped runner IndexErrors in its own IG
+        step.  The cloud is duplicated to B=2 here (act_max reads and
+        perturbs only row 0, so row 1 is a passenger).
+    """
+
+    N_SAMPLES = 3
+
+    def test_cta_asr_parity(self, cpu_cuda, trained_pointnet):
+        if "torchvision" not in sys.modules:
+            tv = types.ModuleType("torchvision")
+            tv.models = types.ModuleType("torchvision.models")
+            tv_t = types.ModuleType("torchvision.transforms")
+            tv.transforms = tv_t
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.models"] = tv.models
+            sys.modules["torchvision.transforms"] = tv_t
+        import attack.CTA.CTA as ref_cta
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu.attacks.cta import (
+            CTAConfig,
+            build_cta_attack,
+        )
+        from pointcloudattack_tpu.train import torch_port
+
+        model, variables, clouds, labels = trained_pointnet
+        clouds = np.asarray(clouds, dtype=np.float32)
+        labels = np.asarray(labels)
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+        layer_activation = {}
+        ref_model.fc3.register_forward_hook(
+            ref_cta.layer_hook(layer_activation, "fc3")
+        )
+
+        torch.manual_seed(31)
+        ref_succ = 0
+        for i in range(self.N_SAMPLES):
+            two = np.concatenate([clouds[i : i + 1]] * 2, axis=0)
+            x = torch.from_numpy(
+                two.transpose(0, 2, 1)
+            ).requires_grad_(True)
+            out = ref_cta.act_max(
+                network=ref_model, input=x,
+                layer_activation=layer_activation, layer_name="fc3",
+                ori_cls=int(labels[i]),
+                alpha=torch.tensor(1e-6), beta=torch.tensor(1e-4),
+                target_att=False, IG_steps=25,
+            )
+            if out is not None and out[0] == "Suc":
+                ref_succ += 1
+        ref_asr = ref_succ / self.N_SAMPLES
+
+        def model_fn(a):
+            out, _ = model.apply(variables, a, train=False)
+            return out
+
+        _, _, success, _ = build_cta_attack(
+            model_fn, CTAConfig(target_mode="untarget")
+        )(
+            jnp.asarray(clouds[: self.N_SAMPLES]),
+            jnp.asarray(labels[: self.N_SAMPLES]),
+            jax.random.PRNGKey(0),
+        )
+        our_asr = float(np.mean(np.asarray(success)))
+        # Documented deviation (attacks/cta.py): the reference's
+        # 25-step plateau test watches the RAW fc3 activation via a
+        # forward hook; our models return log-probs, whose logsumexp
+        # drift keeps the monitored signal moving, so our loop gives up
+        # later and is measurably STRONGER (ref 1/3 vs ours 3/3 on this
+        # fixture) — assert non-inferiority, not equality.
+        assert our_asr >= ref_asr - 1e-9, (
+            f"CTA ASR ref={ref_asr} ours={our_asr}"
+        )
+        assert our_asr > 0.0
+
+
 class TestISOComponentParity:
     """attacks/iso.py vs the importable reference ISO modules
     (attack/ISO/isometry_init.py, thompson_sample.py — iso_attack.py
