@@ -942,6 +942,101 @@ class TestAddPointsEndToEnd:
         )
 
 
+class TestAddClustersEndToEnd:
+    """Reference CWAddClusters (attack/Gen3DAdv/ClusterAdd_attack.py:
+    42-289) vs attacks.gen3dadv.build_add_clusters_attack — seventh
+    attack family with measured end-to-end reference parity.
+
+    Uses an N=160 victim: the reference hard-codes num_cri=128 critical
+    points (ClusterAdd_attack.py:87) and topk(128) crashes on smaller
+    clouds.
+    """
+
+    N_SAMPLES = 4
+    BINARY = 2
+    ITERS = 60
+    NUM_ADD = 2
+    CL_NUM_P = 8
+
+    @pytest.fixture(scope="class")
+    def victim160(self):
+        from pointcloudattack_tpu import models as M
+        from pointcloudattack_tpu.data.synthetic import make_synthetic_clouds
+        from pointcloudattack_tpu.train.trainer import TrainConfig, fit
+
+        clouds, labels = make_synthetic_clouds(3, 12, 160)
+        model = M.make_model("PointNet", 3)
+        variables = M.init_model(
+            model, jax.random.PRNGKey(0), num_points=160, batch=2
+        )
+        variables = fit(
+            model, variables, TrainConfig(epochs=30, batch_size=12),
+            clouds, labels,
+        )
+        out, _ = model.apply(variables, jnp.asarray(clouds), train=False)
+        assert (np.argmax(np.asarray(out), -1) == labels).all()
+        return model, variables, np.asarray(clouds, np.float32), labels
+
+    def test_addclusters_asr_parity(self, cpu_cuda, victim160):
+        import attack.Gen3DAdv.ClusterAdd_attack as ca
+        from attack.CW.CW_utils.adv_utils import UntargetedLogitsAdvLoss
+        from attack.CW.CW_utils.dist_utils import FarChamferDist
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu.attacks.gen3dadv import (
+            AddClustersConfig,
+            build_add_clusters_attack,
+        )
+        from pointcloudattack_tpu.train import torch_port
+
+        model, variables, clouds, labels = victim160
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+
+        torch.manual_seed(37)
+        np.random.seed(37)
+        attacker = ca.CWAddClusters(
+            model=ref_model, trans_model=ref_model,
+            adv_func=UntargetedLogitsAdvLoss(kappa=0.0),
+            dist_func=FarChamferDist(num_add=self.NUM_ADD),
+            attack_lr=1e-2, binary_step=self.BINARY,
+            num_iter=self.ITERS, num_add=self.NUM_ADD,
+            cl_num_p=self.CL_NUM_P, attack_method="untarget",
+        )
+        ref_succ = 0
+        for i in range(self.N_SAMPLES):
+            _, _, success_num = attacker.attack(
+                torch.from_numpy(clouds[i : i + 1]),
+                torch.from_numpy(labels[i : i + 1]),
+            )
+            ref_succ += int(success_num)
+        ref_asr = ref_succ / self.N_SAMPLES
+
+        def model_fn(x):
+            out, _ = model.apply(variables, x, train=False)
+            return out
+
+        cfg = AddClustersConfig(
+            attack_lr=1e-2, binary_step=self.BINARY, num_iter=self.ITERS,
+            num_add=self.NUM_ADD, cl_num_p=self.CL_NUM_P,
+            kappa=0.0, targeted=False,
+        )
+        _, _, _, success = build_add_clusters_attack(model_fn, cfg)(
+            jnp.asarray(clouds[: self.N_SAMPLES]),
+            jnp.asarray(labels[: self.N_SAMPLES]),
+            jax.random.PRNGKey(0),
+        )
+        our_asr = float(np.mean(np.asarray(success)))
+        assert abs(our_asr - ref_asr) <= 1.0 / self.N_SAMPLES + 1e-9, (
+            f"AddClusters ASR ref={ref_asr} ours={our_asr}"
+        )
+
+
 class TestCTAEndToEnd:
     """Reference CTA act_max (attack/CTA/CTA.py:58-286) vs
     attacks.cta.build_cta_attack — sixth attack family with measured
