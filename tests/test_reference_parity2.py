@@ -1037,6 +1037,100 @@ class TestAddClustersEndToEnd:
         )
 
 
+class TestRobustCWEndToEnd:
+    """Reference additional_exp CW (attack/additional_exp/CW_attack.py:
+    11-314, reference-DEFAULT whether_1d z-only box mode) vs
+    attacks.cw_robust — eighth attack family with measured parity.
+
+    The reference class is ORPHANED as shipped: its own Test_CW.py:27
+    imports the standard attack.CW.CW_attack.CW instead, the
+    ``whether_target=`` kwarg it passes to adv_func matches no shipped
+    loss class, and the untargeted branch zips a 0-d array
+    (CW_attack.py:172-173, dist_func returns a scalar under its default
+    batch_avg).  Faithful shims: adv_func dispatches to the REAL
+    Logits/UntargetedLogits losses; dist_func is L2Dist with
+    batch_avg=False so B=1 keeps its batch axis.
+    """
+
+    N_SAMPLES = 4
+    BINARY = 2
+    ITERS = 80
+
+    def test_robust_1d_asr_parity(self, cpu_cuda, trained_pointnet):
+        import attack.additional_exp.CW_attack as rc
+        from attack.CW.CW_utils.adv_utils import (
+            LogitsAdvLoss,
+            UntargetedLogitsAdvLoss,
+        )
+        from attack.CW.CW_utils.dist_utils import L2Dist
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu.attacks.cw_robust import (
+            RobustCWConfig,
+            build_robust_cw_attack,
+        )
+        from pointcloudattack_tpu.losses import l2_dist
+        from pointcloudattack_tpu.train import torch_port
+
+        model, variables, clouds, labels = trained_pointnet
+        clouds = np.asarray(clouds, dtype=np.float32)
+        labels = np.asarray(labels)
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+
+        t_loss = LogitsAdvLoss(kappa=0.0)
+        u_loss = UntargetedLogitsAdvLoss(kappa=0.0)
+
+        def adv_func(logits, target, whether_target):
+            return (
+                t_loss(logits, target)
+                if whether_target
+                else u_loss(logits, target)
+            )
+
+        def dist_func(adv, ori, weights):
+            return L2Dist()(adv, ori, weights=weights, batch_avg=False)
+
+        torch.manual_seed(41)
+        attacker = rc.CW(
+            ref_model, adv_func, dist_func, attack_lr=1e-2,
+            binary_step=self.BINARY, num_iter=self.ITERS,
+            whether_target=False, whether_1d=True,
+        )
+        ref_succ = 0
+        for i in range(self.N_SAMPLES):
+            _, _, success_num = attacker.attack(
+                torch.from_numpy(clouds[i : i + 1]),
+                target=torch.Tensor([0]),
+                origin_label=torch.from_numpy(labels[i : i + 1]),
+            )
+            ref_succ += int(success_num)
+        ref_asr = ref_succ / self.N_SAMPLES
+
+        def model_fn(x):
+            out, _ = model.apply(variables, x, train=False)
+            return out
+
+        cfg = RobustCWConfig(
+            attack_lr=1e-2, binary_step=self.BINARY, num_iter=self.ITERS,
+            targeted=False, kappa=0.0, whether_1d=True,
+        )
+        _, _, success = build_robust_cw_attack(model_fn, l2_dist, cfg)(
+            jnp.asarray(clouds[: self.N_SAMPLES]),
+            jnp.asarray(labels[: self.N_SAMPLES]),
+            jax.random.PRNGKey(0),
+        )
+        our_asr = float(np.mean(np.asarray(success)))
+        assert abs(our_asr - ref_asr) <= 1.0 / self.N_SAMPLES + 1e-9, (
+            f"RobustCW-1d ASR ref={ref_asr} ours={our_asr}"
+        )
+
+
 class TestCTAEndToEnd:
     """Reference CTA act_max (attack/CTA/CTA.py:58-286) vs
     attacks.cta.build_cta_attack — sixth attack family with measured
