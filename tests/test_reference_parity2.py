@@ -96,17 +96,28 @@ def symeig_shim(monkeypatch):
     monkeypatch.setattr(torch, "symeig", symeig, raising=False)
 
 
+def _ensure_torchvision_stub():
+    """Idempotently stub torchvision (+ .models/.transforms submodules):
+    several reference files import it at module level but never use it
+    in the paths these tests exercise."""
+    tv = sys.modules.get("torchvision")
+    if tv is None:
+        tv = types.ModuleType("torchvision")
+        sys.modules["torchvision"] = tv
+    for sub in ("models", "transforms"):
+        name = f"torchvision.{sub}"
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+        setattr(tv, sub, sys.modules[name])
+
+
 def _import_ref_geoa3_losses():
     """Import the real attack/GeoA3/loss_utils.py with documented shims."""
     gradcheck = sys.modules["torch.autograd.gradcheck"]
     if not hasattr(gradcheck, "zero_gradients"):
         gradcheck.zero_gradients = lambda x: None
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv_t = types.ModuleType("torchvision.transforms")
-        tv.transforms = tv_t
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tv_t
+    _ensure_torchvision_stub()
     real_popen = os.popen
     os.popen = lambda *a, **k: io.StringIO("24 80")
     try:
@@ -743,12 +754,7 @@ class TestGeoA3EndToEnd:
             gradcheck.zero_gradients = lambda x: None
         if "open3d" not in sys.modules:
             sys.modules["open3d"] = types.ModuleType("open3d")
-        if "torchvision" not in sys.modules:
-            tv = types.ModuleType("torchvision")
-            tv_t = types.ModuleType("torchvision.transforms")
-            tv.transforms = tv_t
-            sys.modules["torchvision"] = tv
-            sys.modules["torchvision.transforms"] = tv_t
+        _ensure_torchvision_stub()
         real_popen = os.popen
         os.popen = lambda *a, **k: io.StringIO("24 80")
         try:
@@ -1151,14 +1157,7 @@ class TestCTAEndToEnd:
     N_SAMPLES = 3
 
     def test_cta_asr_parity(self, cpu_cuda, trained_pointnet):
-        if "torchvision" not in sys.modules:
-            tv = types.ModuleType("torchvision")
-            tv.models = types.ModuleType("torchvision.models")
-            tv_t = types.ModuleType("torchvision.transforms")
-            tv.transforms = tv_t
-            sys.modules["torchvision"] = tv
-            sys.modules["torchvision.models"] = tv.models
-            sys.modules["torchvision.transforms"] = tv_t
+        _ensure_torchvision_stub()
         import attack.CTA.CTA as ref_cta
         from model.pointnet import PointNetCls
 
