@@ -117,7 +117,10 @@ def build_si_ifgm(
     def run(points, target):
         b, n, _ = points.shape
         ori = points
-        scale = jnp.sqrt(3.0 * n)
+        # the reference hard-codes sqrt(3*1024) REGARDLESS of the cloud
+        # size (SIadv_attack.py:317) — kept verbatim for parity (at
+        # N=1024, the only size its runners use, this equals sqrt(3n))
+        scale = jnp.sqrt(3.0 * 1024.0)
 
         def step(carry, _):
             pts = carry

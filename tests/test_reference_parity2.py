@@ -1043,6 +1043,111 @@ class TestAddClustersEndToEnd:
         )
 
 
+class TestSIAdvIFGMEndToEnd:
+    """Reference shape_invariant_ifgm (attack/SIadv/SIadv_attack.py:
+    279-340) vs attacks.siadv.build_si_ifgm — ninth attack family with
+    measured end-to-end parity.
+
+    Import shims: open3d stubbed (module-level import) and
+    ``collections.Iterable`` restored (removed in py3.10).  The ONLY
+    runtime open3d use is normal estimation; both sides are injected
+    with the SAME normals (our geometry.normals.estimate_normal, torch-
+    wrapped for the reference via a get_normal_vector patch) so the
+    comparison isolates the spin-axis pipeline, gradients, and clipping.
+    The attack object is built via __new__ — the reference constructor
+    hard-loads ~/yq_pointnet checkpoints (SIadv_attack.py:101-107).
+    """
+
+    N_SAMPLES = 4
+    STEPS = 30
+
+    def test_ifgm_asr_parity(self, cpu_cuda, monkeypatch, trained_pointnet):
+        import collections
+        import collections.abc
+
+        collections.Iterable = collections.abc.Iterable
+        if "open3d" not in sys.modules:
+            sys.modules["open3d"] = types.ModuleType("open3d")
+        siadv_dir = str(REF / "attack" / "SIadv")
+        if siadv_dir not in sys.path:
+            sys.path.insert(0, siadv_dir)
+        import attack.SIadv.SIadv_attack as sa
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu.attacks.siadv import (
+            SIAdvConfig,
+            build_si_ifgm,
+        )
+        from pointcloudattack_tpu.geometry.normals import estimate_normal
+        from pointcloudattack_tpu.train import torch_port
+
+        model, variables, clouds, labels = trained_pointnet
+        clouds = np.asarray(clouds, dtype=np.float32)
+        labels = np.asarray(labels)
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+
+        cfg = SIAdvConfig(eps=0.45, step_size=0.01, max_steps=self.STEPS)
+
+        # CWLoss casts via the torch.cuda.FloatTensor TYPE directly
+        # (SIadv_attack.py:148-149) — alias it to the CPU type
+        monkeypatch.setattr(
+            torch.cuda, "FloatTensor", torch.FloatTensor, raising=False
+        )
+
+        atk = sa.PointCloudAttack.__new__(sa.PointCloudAttack)
+        atk.device = "cpu"
+        atk.eps = cfg.eps
+        atk.normal = False
+        atk.step_size = cfg.step_size
+        atk.num_class = 3
+        atk.max_steps = self.STEPS
+        atk.top5_attack = False
+        atk.attack_method = "ifgm_ours"
+        atk.defense_method = None
+        atk.wb_classifier = ref_model
+        atk.classifier = ref_model
+
+        def jax_normals(points_t):
+            pts = jnp.asarray(points_t.detach().numpy())
+            n = estimate_normal(pts, k=cfg.normal_k)
+            return torch.from_numpy(np.asarray(n))
+
+        monkeypatch.setattr(
+            sa.PointCloudAttack, "get_normal_vector",
+            lambda self, pts: jax_normals(pts),
+        )
+
+        ref_succ = 0
+        for i in range(self.N_SAMPLES):
+            pts = torch.from_numpy(clouds[i : i + 1])
+            normals0 = jax_normals(pts)
+            with_n = torch.cat([pts, normals0], dim=-1)  # [1, N, 6]
+            _, _, succ = atk.shape_invariant_ifgm(
+                with_n, torch.from_numpy(labels[i : i + 1])
+            )
+            ref_succ += int(succ)
+        ref_asr = ref_succ / self.N_SAMPLES
+
+        def model_fn(x):
+            out, _ = model.apply(variables, x, train=False)
+            return out
+
+        _, _, success = build_si_ifgm(model_fn, model_fn, cfg)(
+            jnp.asarray(clouds[: self.N_SAMPLES]),
+            jnp.asarray(labels[: self.N_SAMPLES]),
+        )
+        our_asr = float(np.mean(np.asarray(success)))
+        assert abs(our_asr - ref_asr) <= 1.0 / self.N_SAMPLES + 1e-9, (
+            f"SIadv-iFGM ASR ref={ref_asr} ours={our_asr}"
+        )
+
+
 class TestRobustCWEndToEnd:
     """Reference additional_exp CW (attack/additional_exp/CW_attack.py:
     11-314, reference-DEFAULT whether_1d z-only box mode) vs
