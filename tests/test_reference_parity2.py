@@ -1043,6 +1043,111 @@ class TestAddClustersEndToEnd:
         )
 
 
+class TestUntargetedAOFEndToEnd:
+    """Reference untargeted AOF — the inline loop of
+    attack/AOF/Eval_AOF.py:118-262 — vs attacks.aof untargeted mode,
+    eleventh loop with measured end-to-end parity.
+
+    Eval_AOF.py:17 imports the nonexistent ``attack.CW.utils`` package
+    (the directory is CW_utils — a shipped broken import, SURVEY §5);
+    an alias module is registered so the file loads.  Its ``attack()``
+    reads everything from module globals set by __main__, so the test
+    injects them and scrapes the printed success rate (the function
+    returns nothing; its npz save is commented out).
+    """
+
+    N_SAMPLES = 4
+    LOW_PASS = 24
+    STEPS = 2
+    EPOCHS = 60
+
+    def test_untargeted_aof_asr_parity(
+        self, cpu_cuda, symeig_shim, capsys, trained_pointnet
+    ):
+        import importlib.util
+        import re
+
+        import attack.CW.CW_utils.dist_utils as cw_utils_pkg  # noqa: F401
+
+        alias = types.ModuleType("attack.CW.utils")
+        alias.__path__ = [str(REF / "attack/CW/CW_utils")]
+        sys.modules.setdefault("attack.CW.utils", alias)
+        spec = importlib.util.spec_from_file_location(
+            "attack.CW.utils.dist_utils", REF / "attack/CW/CW_utils/dist_utils.py"
+        )
+        du = importlib.util.module_from_spec(spec)
+        sys.modules.setdefault("attack.CW.utils.dist_utils", du)
+        if sys.modules["attack.CW.utils.dist_utils"] is du:
+            spec.loader.exec_module(du)
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_eval_aof", REF / "attack/AOF/Eval_AOF.py"
+        )
+        ea = importlib.util.module_from_spec(spec)
+        sys.modules["ref_eval_aof"] = ea
+        spec.loader.exec_module(ea)
+
+        from attack.CW.CW_utils.adv_utils import UntargetedLogitsAdvLoss
+        from attack.CW.CW_utils.dist_utils import ClipPointsLinf
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu.attacks.aof import AOFConfig, build_aof_attack
+        from pointcloudattack_tpu.train import torch_port
+
+        model, variables, clouds, labels = trained_pointnet
+        clouds = np.asarray(clouds, dtype=np.float32)
+        labels = np.asarray(labels)
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+
+        # inject the module globals Eval_AOF.attack() expects from main
+        ea.model = ref_model
+        ea.trans_model = ref_model
+        ea.adv_func = UntargetedLogitsAdvLoss(kappa=0.0)
+        ea.clip_func = ClipPointsLinf(budget=0.45)
+        ea.device = torch.device("cpu")
+        ea.args = types.SimpleNamespace(
+            step=self.STEPS, epochs=self.EPOCHS, lr=0.01,
+            low_pass=self.LOW_PASS, batch_size=self.N_SAMPLES,
+        )
+        ea.test_loader = [
+            (
+                torch.from_numpy(clouds[: self.N_SAMPLES]),
+                torch.from_numpy(labels[: self.N_SAMPLES]),
+            )
+        ]
+
+        torch.manual_seed(47)
+        ea.attack()
+        out = capsys.readouterr().out
+        rates = re.findall(r"attack success rate:([0-9.]+)", out)
+        assert rates, "reference attack() printed no success rate"
+        ref_asr = float(rates[-1])
+
+        def model_fn(x):
+            out_, _ = model.apply(variables, x, train=False)
+            return out_
+
+        cfg = AOFConfig(
+            attack_lr=0.01, binary_step=self.STEPS, num_iter=self.EPOCHS,
+            low_pass=self.LOW_PASS, budget=0.45, kappa=0.0, targeted=False,
+        )
+        _, _, success = build_aof_attack(model_fn, cfg)(
+            jnp.asarray(clouds[: self.N_SAMPLES]),
+            jnp.asarray(labels[: self.N_SAMPLES]),
+            jax.random.PRNGKey(0),
+        )
+        our_asr = float(np.mean(np.asarray(success)))
+        assert abs(our_asr - ref_asr) <= 1.0 / self.N_SAMPLES + 1e-9, (
+            f"untargeted AOF ASR ref={ref_asr} ours={our_asr}"
+        )
+
+
 class TestISOGradientEndToEnd:
     """Reference CTRI gradient_attack (attack/ISO/iso_attack.py:121-159)
     vs attacks.iso.build_gradient_iso_attack — tenth attack loop with
