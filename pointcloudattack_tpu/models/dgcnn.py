@@ -24,12 +24,16 @@ def _onehot_limb_gather(x: jax.Array, onehot: jax.Array, num_limbs: int):
     """MXU one-hot gather of ``x`` [B, M, C] by ``onehot`` [B, N, k, M].
 
     Forward: sum of per-limb bf16 one-hot matmuls (see _bf16_limbs —
-    3 limbs are bit-exact).  The limb split uses bitcast masking, which
-    has no derivative, so the backward is defined explicitly: the exact
-    transpose of the selection, one HIGHEST-precision one-hot matmul
-    (the same cotangent scatter-add the XLA gather's VJP performs).
+    3 limbs are bit-exact), restored to ``x.dtype`` so the bf16 compute
+    path (make_model_fn compute_dtype=bf16) stays bf16.  The limb split
+    uses bitcast masking, which has no derivative, so the backward is
+    defined explicitly: the exact transpose of the selection, one
+    HIGHEST-precision one-hot matmul (the same cotangent scatter-add
+    the XLA gather's VJP performs), cast back to the primal dtype (the
+    output dtype equals the primal dtype, so the incoming cotangent's
+    dtype is the one to return).
     """
-    return sum(
+    out = sum(
         jnp.einsum(
             "bnkm,bmc->bnkc",
             onehot,
@@ -38,6 +42,7 @@ def _onehot_limb_gather(x: jax.Array, onehot: jax.Array, num_limbs: int):
         )
         for limb in _bf16_limbs(x, num_limbs)
     )
+    return out.astype(x.dtype)
 
 
 def _onehot_limb_gather_fwd(x, onehot, num_limbs):
@@ -48,11 +53,11 @@ def _onehot_limb_gather_bwd(num_limbs, onehot, cot):
     dx = jnp.einsum(
         "bnkm,bnkc->bmc",
         onehot,
-        cot,
+        cot.astype(jnp.float32),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return dx, None
+    return dx.astype(cot.dtype), None
 
 
 _onehot_limb_gather.defvjp(_onehot_limb_gather_fwd, _onehot_limb_gather_bwd)
@@ -120,9 +125,7 @@ def graph_feature(
         n = x.shape[1]
         onehot = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)
         num_limbs = {"bf16": 1, "hilo": 2, "tri": 3}[gather_mode]
-        # f32 accumulation inside; restore the input dtype so the bf16
-        # compute path (make_model_fn compute_dtype=bf16) stays bf16
-        nbr = _onehot_limb_gather(x, onehot, num_limbs).astype(x.dtype)
+        nbr = _onehot_limb_gather(x, onehot, num_limbs)  # dtype of x
     elif gather_mode == "exact":
         nbr = index_points(x, idx)  # [B, N, k, C]
     else:

@@ -170,6 +170,46 @@ def test_limb_gather_bf16_input():
         )
 
 
+def test_limb_gather_bf16_input_grad():
+    """jax.grad through the MXU gather with bf16 primals (the
+    compute_dtype=bf16 path on a DGCNN victim) must produce a bf16
+    cotangent matching the exact gather's — the custom_vjp backward
+    returns the primal dtype, not unconditional f32 (round-2 advisor
+    finding: f32 dx summed with a bf16 central-feature cotangent
+    crashed lax.add at trace time)."""
+    import jax
+    import jax.numpy as jnp
+    from pointcloudattack_tpu.models.dgcnn import graph_feature
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    w = jnp.asarray(rng.randn(2, 64, 4, 16).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def loss(a, mode):
+        return jnp.sum(
+            graph_feature(a, 4, mode).astype(jnp.float32)
+            * w.astype(jnp.float32)
+        )
+
+    g_exact = jax.grad(lambda a: loss(a, "exact"))(x)
+    for mode in ("tri", "hilo", "bf16"):
+        g = jax.grad(lambda a, m=mode: loss(a, m))(x)
+        assert g.dtype == jnp.bfloat16
+        # not bitwise: the exact path scatter-adds cotangents in bf16,
+        # ours accumulates in f32 then rounds once (strictly tighter);
+        # difference is one bf16 ulp of the accumulated sum
+        np.testing.assert_allclose(
+            np.asarray(g, dtype=np.float32),
+            np.asarray(g_exact, dtype=np.float32),
+            rtol=0.04,
+            atol=0.1,
+        )
+
+
 def test_tri_gather_value_and_grad_match_exact():
     """graph_feature 'tri' equals 'exact' in value (f32) and gradient
     (the custom_vjp backward is the exact one-hot transpose)."""
