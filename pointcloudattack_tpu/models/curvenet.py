@@ -13,11 +13,16 @@ Key re-design decisions:
     despite the name it adds no gumbel noise) is
     ``stop_grad(onehot(argmax) - softmax) + softmax``;
   * deviation from the reference: walk.py:103-105 reshapes the [B, 2, cn]
-    momentum logits with ``.view(bn, 1, cn, 2)``, scrambling channel and
-    curve axes (a latent bug in upstream CurveNet).  We compute the
-    obviously-intended per-curve softmax over the two momentum logits.
-    No pretrained CurveNet checkpoints ship with the reference, so there
-    is no weight-level parity to preserve;
+    momentum softmax with ``.view(bn, 1, cn, 2)``, scrambling channel and
+    curve axes (a latent bug in upstream CurveNet: curve m's two blend
+    weights are read from flat positions 2m and 2m+1 of the row-major
+    [2, cn] array, so they generally do not even sum to 1).  By default
+    we compute the obviously-intended per-curve softmax over the two
+    momentum logits.  ``walk_compat=True`` reproduces the reference's
+    scrambled view bit-for-bit (used by the reference-code parity tests
+    and the torch checkpoint port — no pretrained CurveNet checkpoints
+    ship with the reference, but ports of user-trained ones need the
+    reference semantics);
   * like the reference (model/curvenet.py:73), the classifier returns RAW
     logits, not log-probs — CW margin losses are monotone-invariant to
     this, but CE-based paths must know (the registry records it).
@@ -124,6 +129,7 @@ class Walk(nn.Module):
     k: int
     curve_num: int
     curve_length: int
+    momentum_compat: bool = False
 
     @nn.compact
     def __call__(
@@ -149,6 +155,14 @@ class Walk(nn.Module):
                 # dynamic momentum blend of current point and curve state
                 cat = jnp.concatenate([cur_feature, pre_feature], axis=-1)
                 att = jax.nn.softmax(momentum(cat, train=train), axis=-1)
+                if self.momentum_compat:
+                    # reference walk.py:103-105: the [bn, 2, cn] softmax
+                    # is `.view(bn, 1, cn, 2)`-ed, so curve m reads its
+                    # two weights from flat (channel, curve) positions
+                    # 2m and 2m+1 — reproduce that row-major reindex
+                    att = jnp.swapaxes(att, 1, 2).reshape(
+                        att.shape[0], self.curve_num, 2
+                    )
                 pre_feature = (
                     att[..., 0:1] * cur_feature + att[..., 1:2] * pre_feature
                 )
@@ -250,6 +264,7 @@ class CurveGrouping(nn.Module):
     k: int
     curve_num: int
     curve_length: int
+    momentum_compat: bool = False
 
     @nn.compact
     def __call__(
@@ -261,7 +276,11 @@ class CurveGrouping(nn.Module):
         x = x * att
         _, start = jax.lax.top_k(att[..., 0], self.curve_num)  # [B, cn]
         return Walk(
-            self.k, self.curve_num, self.curve_length, name="walk"
+            self.k,
+            self.curve_num,
+            self.curve_length,
+            momentum_compat=self.momentum_compat,
+            name="walk",
         )(xyz, x, adj, start, train=train)
 
 
@@ -295,6 +314,7 @@ class CIC(nn.Module):
     bottleneck_ratio: int = 2
     mlp_num: int = 2
     curve_cfg: Sequence[int] | None = None
+    momentum_compat: bool = False
 
     @nn.compact
     def __call__(self, xyz: jax.Array, x: jax.Array, train: bool = False):
@@ -314,6 +334,7 @@ class CIC(nn.Module):
                 self.k,
                 self.curve_cfg[0],
                 self.curve_cfg[1],
+                momentum_compat=self.momentum_compat,
                 name="curvegrouping",
             )(h, xyz, idx[:, :, 1:], train=train)
             h = CurveAggregation(name="curveaggregation")(
@@ -338,11 +359,16 @@ class CurveNet(nn.Module):
     """CurveNet classifier (reference model/curvenet.py:11-73).
 
     Returns (raw logits, aux) — NOT log-probs, matching the reference.
+
+    ``walk_compat=True`` reproduces the reference Walk's scrambled
+    momentum view (model/walk.py:103-105) exactly — used for parity
+    tests and checkpoint ports; see the module docstring.
     """
 
     num_classes: int = 40
     k: int = 20
     setting: str = "default"
+    walk_compat: bool = False
 
     @nn.compact
     def __call__(self, xyz: jax.Array, train: bool = False):
@@ -351,28 +377,28 @@ class CurveNet(nn.Module):
             None, xyz, train=train
         )
 
-        x1, h = CIC(1024, 0.05, self.k, 32, 64, 2, 1, cfg[0], name="cic11")(
+        x1, h = CIC(1024, 0.05, self.k, 32, 64, 2, 1, cfg[0], momentum_compat=self.walk_compat, name="cic11")(
             xyz, l0, train=train
         )
-        x1, h = CIC(1024, 0.05, self.k, 64, 64, 4, 1, cfg[0], name="cic12")(
+        x1, h = CIC(1024, 0.05, self.k, 64, 64, 4, 1, cfg[0], momentum_compat=self.walk_compat, name="cic12")(
             x1, h, train=train
         )
-        x2, h = CIC(1024, 0.05, self.k, 64, 128, 2, 1, cfg[1], name="cic21")(
+        x2, h = CIC(1024, 0.05, self.k, 64, 128, 2, 1, cfg[1], momentum_compat=self.walk_compat, name="cic21")(
             x1, h, train=train
         )
-        x2, h = CIC(1024, 0.1, self.k, 128, 128, 4, 1, cfg[1], name="cic22")(
+        x2, h = CIC(1024, 0.1, self.k, 128, 128, 4, 1, cfg[1], momentum_compat=self.walk_compat, name="cic22")(
             x2, h, train=train
         )
-        x3, h = CIC(256, 0.1, self.k, 128, 256, 2, 1, cfg[2], name="cic31")(
+        x3, h = CIC(256, 0.1, self.k, 128, 256, 2, 1, cfg[2], momentum_compat=self.walk_compat, name="cic31")(
             x2, h, train=train
         )
-        x3, h = CIC(256, 0.2, self.k, 256, 256, 4, 1, cfg[2], name="cic32")(
+        x3, h = CIC(256, 0.2, self.k, 256, 256, 4, 1, cfg[2], momentum_compat=self.walk_compat, name="cic32")(
             x3, h, train=train
         )
-        x4, h = CIC(64, 0.2, self.k, 256, 512, 2, 1, cfg[3], name="cic41")(
+        x4, h = CIC(64, 0.2, self.k, 256, 512, 2, 1, cfg[3], momentum_compat=self.walk_compat, name="cic41")(
             x3, h, train=train
         )
-        x4, h = CIC(64, 0.4, self.k, 512, 512, 4, 1, cfg[3], name="cic42")(
+        x4, h = CIC(64, 0.4, self.k, 512, 512, 4, 1, cfg[3], momentum_compat=self.walk_compat, name="cic42")(
             x4, h, train=train
         )
 

@@ -17,9 +17,11 @@ Tensor conventions:
 Supported: PointNet (reference model/pointnet.py), PointNet++ SSG/MSG
 (model/pointnet2_SSG.py / _MSG.py), DGCNN (model/dgcnn.py), PU-Net
 (attack/SIadv/baselines/defense/DUP_Net/pu_net.py:8-131, the DUP-Net
-upsampler).  CurveNet has no shipped checkpoints and its momentum-MLP
-semantics differ (see models/curvenet.py docstring), so it is
-intentionally not mapped.
+upsampler), CurveNet (model/curvenet.py:11-73 + curvenet_util.py +
+walk.py — no checkpoints ship with the reference, but user-trained ones
+port; run the ported weights with ``CurveNet(walk_compat=True)`` to
+reproduce the reference Walk's scrambled momentum view exactly, see
+models/curvenet.py docstring).
 """
 
 from __future__ import annotations
@@ -278,6 +280,92 @@ def punet_spec(up_ratio: int = 4) -> _Spec:
     return s
 
 
+# CIC blocks of model/curvenet.py:21-39: (name, in_ch, out_ch, has_curves
+# per setting).  Mirrors curve_config (model/curvenet.py:5-8): 'default'
+# runs curves in stages 1-2, 'long' only in stage 1.
+_CURVENET_CICS = [
+    ("cic11", 32, 64, 0),
+    ("cic12", 64, 64, 0),
+    ("cic21", 64, 128, 1),
+    ("cic22", 128, 128, 1),
+    ("cic31", 128, 256, 2),
+    ("cic32", 256, 256, 2),
+    ("cic41", 256, 512, 3),
+    ("cic42", 512, 512, 3),
+]
+_CURVENET_HAS_CURVE = {"default": (True, True, False, False),
+                       "long": (True, False, False, False)}
+
+
+def curvenet_spec(setting: str = "default") -> _Spec:
+    """model/curvenet.py CurveNet layout.
+
+    The reference wraps 1x1 convs in nn.Sequential(conv, bn[, act]) so
+    tensors are ``<mod>.0.*`` / ``<mod>.1.*``; the Walk MLPs live at
+    ``cicXY.curvegrouping.walk.{agent,momentum}_mlp.{0,1}`` (walk.py:46-55).
+    """
+    s = _Spec()
+    s.dense("lpfa.mlp.0.0", ("lpfa", "mlp0", "Dense_0"), kind="conv2d")
+    s.bn("lpfa.mlp.0.1", ("lpfa", "mlp0", "BatchNorm_0"))
+    has_curve = _CURVENET_HAS_CURVE[setting]
+    for name, cin, cout, stage in _CURVENET_CICS:
+        s.dense(f"{name}.conv1.0", (name, "conv1", "Dense_0"))
+        s.bn(f"{name}.conv1.1", (name, "conv1", "BatchNorm_0"))
+        if has_curve[stage]:
+            cg = (name, "curvegrouping")
+            s.dense(f"{name}.curvegrouping.att", cg + ("att",))
+            s.dense(
+                f"{name}.curvegrouping.walk.agent_mlp.0",
+                cg + ("walk", "agent_mlp", "Dense_0"),
+                kind="conv2d",
+            )
+            s.bn(
+                f"{name}.curvegrouping.walk.agent_mlp.1",
+                cg + ("walk", "agent_mlp", "BatchNorm_0"),
+            )
+            s.dense(
+                f"{name}.curvegrouping.walk.momentum_mlp.0",
+                cg + ("walk", "momentum_mlp", "Dense_0"),
+            )
+            s.bn(
+                f"{name}.curvegrouping.walk.momentum_mlp.1",
+                cg + ("walk", "momentum_mlp", "BatchNorm_0"),
+            )
+            ca = (name, "curveaggregation")
+            for conv in ("conva", "convb", "convc", "convn", "convl"):
+                s.dense(f"{name}.curveaggregation.{conv}", ca + (conv,))
+            s.dense(f"{name}.curveaggregation.convd.0", ca + ("convd",))
+            s.bn(f"{name}.curveaggregation.convd.1", ca + ("convd_bn",))
+            s.dense(
+                f"{name}.curveaggregation.line_conv_att",
+                ca + ("line_conv_att",),
+                kind="conv2d",
+            )
+        s.dense(
+            f"{name}.lpfa.xyz2feature.0",
+            (name, "lpfa", "xyz2feature"),
+            kind="conv2d",
+        )
+        s.bn(f"{name}.lpfa.xyz2feature.1", (name, "lpfa", "xyz2feature_bn"))
+        s.dense(
+            f"{name}.lpfa.mlp.0.0",
+            (name, "lpfa", "mlp0", "Dense_0"),
+            kind="conv2d",
+        )
+        s.bn(f"{name}.lpfa.mlp.0.1", (name, "lpfa", "mlp0", "BatchNorm_0"))
+        s.dense(f"{name}.conv2.0", (name, "conv2", "Dense_0"))
+        s.bn(f"{name}.conv2.1", (name, "conv2", "BatchNorm_0"))
+        if cin != cout:
+            s.dense(f"{name}.shortcut.0", (name, "shortcut", "Dense_0"))
+            s.bn(f"{name}.shortcut.1", (name, "shortcut", "BatchNorm_0"))
+    s.dense("conv0.0", ("conv0",))
+    s.bn("conv0.1", ("bn0",))
+    s.dense("conv1", ("conv1",), kind="lin")
+    s.bn("bn1", ("bn1",))
+    s.dense("conv2", ("conv2",), kind="lin")
+    return s
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -305,7 +393,7 @@ def port_dgcnn(sd: Mapping) -> dict:
 def port_punet(sd: Mapping, up_ratio: int = 4) -> dict:
     """DUP_Net/pu_net.py PUNet state_dict -> flax variables.
 
-    Enables DUP-Net (defense/dupnet.py) to run with the reference's
+    Enables DUP-Net (pointcloudattack_tpu/defense/dupnet.py) to run with the reference's
     trained ``pu-in_1024-up_4.pth`` upsampler weights
     (DUP_Net/DUP_Net.py:24-28).
     """
@@ -335,12 +423,26 @@ def export_punet(variables: Mapping, up_ratio: int = 4) -> dict:
     return _apply_export(punet_spec(up_ratio=up_ratio), variables)
 
 
+def port_curvenet(sd: Mapping, setting: str = "default") -> dict:
+    """model/curvenet.py CurveNet state_dict -> flax variables.
+
+    Run the result with ``CurveNet(walk_compat=True)`` for reference
+    semantics (the scrambled momentum view, model/walk.py:103-105).
+    """
+    return _apply_port(curvenet_spec(setting), sd)
+
+
+def export_curvenet(variables: Mapping, setting: str = "default") -> dict:
+    return _apply_export(curvenet_spec(setting), variables)
+
+
 PORTERS = {
     "PointNet": port_pointnet,
     "PointNet++Ssg": port_pointnet2_ssg,
     "PointNet++Msg": port_pointnet2_msg,
     "DGCNN": port_dgcnn,
     "PUNet": port_punet,
+    "CurveNet": port_curvenet,
 }
 
 EXPORTERS = {
@@ -349,6 +451,7 @@ EXPORTERS = {
     "PointNet++Msg": export_pointnet2_msg,
     "DGCNN": export_dgcnn,
     "PUNet": export_punet,
+    "CurveNet": export_curvenet,
 }
 
 

@@ -199,6 +199,148 @@ class TestForwardParity:
         )
         np.testing.assert_allclose(got, want, atol=1e-3)
 
+    def test_curvenet(self, cpu_cuda, cpu_device):
+        """CurveNet port + walk_compat vs reference model/curvenet.py.
+
+        The reference Walk hard-codes torch.device('cuda')
+        (model/walk.py:84, curvenet_util.py:179) — cpu_device patches it;
+        its FPS start is already deterministic (curvenet_util.py:81,
+        ``torch.randint(...) * 0``), so no fps fixture is needed.
+        """
+        from model.curvenet import CurveNet as RefCurveNet
+
+        torch.manual_seed(6)
+        ref = RefCurveNet(num_classes=NUM_CLASSES, k=8)
+        x = np.random.RandomState(7).randn(2, 1024, 3).astype(np.float32)
+        x_t = torch.from_numpy(x.transpose(0, 2, 1))
+        _bn_warm(ref, x_t, passes=1)
+        with torch.no_grad():
+            want = ref(x_t)[0].numpy()
+
+        variables = torch_port.port_curvenet(ref.state_dict())
+        got = _flax_forward(
+            "CurveNet", variables, x, k=8, walk_compat=True
+        )
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+        # the default (intended per-curve softmax) also matches here:
+        # the momentum blend reaches the OUTPUT only through argmax walk
+        # picks, and warm-init momentum weights are too small to flip
+        # any.  test_walk_momentum_scramble pins the divergence with
+        # boosted weights.
+        got_fixed = _flax_forward("CurveNet", variables, x, k=8)
+        assert np.all(np.isfinite(got_fixed))
+
+        # input-gradient parity — what the CW/iFGM engines consume.
+        # Composed with the engine-level e2e parity (TestCWEndToEnd on
+        # PointNet), this covers attack parity on CurveNet victims
+        # without a second slow reference CW loop.
+        xt = torch.from_numpy(x.transpose(0, 2, 1)).requires_grad_(True)
+        out = ref(xt)[0]
+        y = out.argmax(-1).detach()
+        out[torch.arange(len(y)), y].sum().backward()
+        g_ref = xt.grad.numpy().transpose(0, 2, 1)  # [B, N, 3]
+
+        model = models.make_model("CurveNet", NUM_CLASSES, k=8,
+                                  walk_compat=True)
+        yj = jnp.asarray(y.numpy())
+
+        def margin(a):
+            lo, _ = model.apply(variables, a, train=False)
+            return lo[jnp.arange(len(y)), yj].sum()
+
+        g_got = np.asarray(jax.grad(margin)(jnp.asarray(x)))
+        np.testing.assert_allclose(
+            g_got, g_ref, atol=2e-3 * float(np.abs(g_ref).max())
+        )
+
+    def test_walk_momentum_scramble(self, cpu_cuda, cpu_device):
+        """Pin the reference Walk's momentum-view bug (walk.py:103-105).
+
+        The [bn, 2, cn] momentum softmax is `.view(bn, 1, cn, 2)`-ed, so
+        curve m's blend weights come from flat positions 2m / 2m+1 of
+        the row-major (channel, curve) array.  With boosted momentum
+        weights (so blends leave 0.5/0.5 and argmax picks flip), our
+        Walk(momentum_compat=True) must be BIT-EXACT vs the reference
+        module and the intended per-curve softmax must diverge.
+        """
+        from model.walk import Walk as RefWalk
+
+        from pointcloudattack_tpu.models.curvenet import Walk
+
+        torch.manual_seed(0)
+        B, N, C, K, CN, CL = 2, 64, 16, 8, 10, 5
+        ref = RefWalk(C, K, CN, CL)
+        with torch.no_grad():
+            ref.momentum_mlp[0].weight.mul_(8.0)
+            ref.agent_mlp[0].weight.mul_(4.0)
+        ref.eval()
+
+        rng = np.random.RandomState(3)
+        x = rng.randn(B, N, C).astype(np.float32)
+        xyz = rng.randn(B, N, 3).astype(np.float32)
+        adj = np.stack(
+            [
+                np.stack([rng.choice(N, K, replace=False) for _ in range(N)])
+                for _ in range(B)
+            ]
+        ).astype(np.int64)
+        start = np.stack(
+            [rng.choice(N, CN, replace=False) for _ in range(B)]
+        ).astype(np.int64)
+
+        with torch.no_grad():
+            want = ref(
+                torch.from_numpy(xyz.transpose(0, 2, 1)),
+                torch.from_numpy(x.transpose(0, 2, 1)),
+                torch.from_numpy(adj),
+                torch.from_numpy(start[..., None]),
+            ).numpy()  # [B, C, CN, CL]
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+        def mlp_vars(prefix):
+            return (
+                {
+                    "Dense_0": {
+                        "kernel": sd[f"{prefix}.0.weight"]
+                        .reshape(-1, 2 * C)
+                        .T
+                    },
+                    "BatchNorm_0": {
+                        "scale": sd[f"{prefix}.1.weight"],
+                        "bias": sd[f"{prefix}.1.bias"],
+                    },
+                },
+                {
+                    "BatchNorm_0": {
+                        "mean": sd[f"{prefix}.1.running_mean"],
+                        "var": sd[f"{prefix}.1.running_var"],
+                    }
+                },
+            )
+
+        ap, ast = mlp_vars("agent_mlp")
+        mp, mst = mlp_vars("momentum_mlp")
+        variables = {
+            "params": {"agent_mlp": ap, "momentum_mlp": mp},
+            "batch_stats": {"agent_mlp": ast, "momentum_mlp": mst},
+        }
+
+        def run(compat):
+            out = Walk(K, CN, CL, momentum_compat=compat).apply(
+                variables,
+                jnp.asarray(xyz),
+                jnp.asarray(x),
+                jnp.asarray(adj),
+                jnp.asarray(start),
+                train=False,
+            )
+            return np.asarray(out).transpose(0, 3, 1, 2)  # [B, C, CN, CL]
+
+        np.testing.assert_array_equal(run(True), want)  # bit-exact
+        assert np.abs(run(False) - want).max() > 1.0  # intended semantics
+
     def test_punet(self, cpu_cuda, fps_start_zero):
         """PUNet port: reference DUP_Net upsampler vs models.punet.PUNet."""
         base = "attack/SIadv/baselines/defense/DUP_Net"

@@ -183,3 +183,34 @@ class TestDGCNNPort:
             train=False,
         )
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestCurveNetPort:
+    def test_export_port_roundtrip_covers_init_tree(self):
+        """export_curvenet -> port_curvenet is lossless and the spec
+        covers exactly the flax init tree (so no tensor is silently
+        dropped in either direction)."""
+        model = models.make_model("CurveNet", NUM_CLASSES, k=4)
+        init = models.init_model(model, jax.random.PRNGKey(0), 128, 1)
+        init = {
+            "params": init["params"],
+            "batch_stats": init["batch_stats"],
+        }
+
+        sd = torch_port.export_curvenet(init)
+        back = torch_port.port_curvenet(sd)
+
+        def leaves(tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            return {jax.tree_util.keystr(p): np.asarray(v)
+                    for p, v in flat}
+
+        a, b = leaves(init), leaves(back)
+        assert set(a) == set(b)
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+        # exported names follow the reference nn.Sequential layout
+        assert "cic21.curvegrouping.walk.momentum_mlp.0.weight" in sd
+        assert "cic31.shortcut.0.weight" in sd
+        assert "conv0.0.weight" in sd
