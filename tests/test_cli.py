@@ -226,16 +226,55 @@ def test_attack_top1_error(trained_run):
     ])
 
 
-@pytest.mark.parametrize("defense", ["sor", "dupnet"])
-def test_attack_with_defense(trained_run, defense):
+REF_PUNET_PTH = (
+    "/root/reference/attack/SIadv/baselines/defense/DUP_Net/"
+    "pu-in_1024-up_4.pth"
+)
+
+
+def test_attack_with_defense(trained_run):
     out, ckpt = trained_run
     main([
         "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
         "--num_points", "64", "--num_classes", "3",
-        "--checkpoint", ckpt, "--output_dir", out, "--defense", defense,
+        "--checkpoint", ckpt, "--output_dir", out, "--defense", "sor",
         "--binary_step", "1", "--num_iter", "20", "--kappa", "0",
         "--budget", "0.45", "--num_samples", "2",
     ])
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_PUNET_PTH),
+    reason="reference checkout not available",
+)
+def test_attack_with_dupnet_shipped_weights(trained_run):
+    """--defense dupnet runs against the reference's TRAINED upsampler
+    (DUP_Net.py:24 hard-loads pu-in_1024-up_4.pth) via
+    --defense_checkpoint, not a random init."""
+    out, ckpt = trained_run
+    main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--defense", "dupnet", "--defense_checkpoint", REF_PUNET_PTH,
+        "--binary_step", "1", "--num_iter", "20", "--kappa", "0",
+        "--budget", "0.45", "--num_samples", "2",
+    ])
+
+
+def test_dupnet_defense_requires_checkpoint(trained_run):
+    """A random upsampler is not a defense: --defense dupnet without
+    --defense_checkpoint must refuse, not silently init."""
+    out, ckpt = trained_run
+    with pytest.raises(SystemExit, match="defense_checkpoint"):
+        main([
+            "attack", "cw", "--dataset", "synthetic", "--model",
+            "PointNet", "--num_points", "64", "--num_classes", "3",
+            "--checkpoint", ckpt, "--output_dir", out,
+            "--defense", "dupnet",
+            "--binary_step", "1", "--num_iter", "5",
+            "--num_samples", "2",
+        ])
 
 
 def test_attack_face_probe(trained_run, tmp_path):
@@ -252,6 +291,31 @@ def test_attack_face_probe(trained_run, tmp_path):
         "--binary_step", "1", "--num_iter", "20", "--kappa", "0",
         "--budget", "0.45",
     ])
+
+
+def test_attack_face_probe_all_targets(trained_run, tmp_path):
+    """--all_targets sweeps every class id as the impersonation target
+    in ONE invocation (reference Eval_KNN.py:70-101's target loop,
+    shipped truncated to one target) with per-target artifacts."""
+    out = str(tmp_path / "sweep")
+    _, ckpt = trained_run
+    face = np.random.RandomState(0).randn(200, 5)
+    path = str(tmp_path / "face.txt")
+    np.savetxt(path, face)
+    main([
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--face_txt", path, "--face_label", "1",
+        "--attack_method", "target", "--all_targets",
+        "--binary_step", "1", "--num_iter", "20", "--kappa", "0",
+        "--budget", "0.45", "--save_adv",
+    ])
+    summary = json.load(open(os.path.join(out, "attack_cw_summary.json")))
+    assert summary["n"] == 3
+    assert set(summary["per_target_success"]) == {"0", "1", "2"}
+    dumps = os.listdir(os.path.join(out, "AdvData", "PointNet"))
+    assert len(dumps) == 3  # one artifact per target class
 
 
 def test_attack_iso_cli_with_csv_log(trained_run):
