@@ -151,22 +151,40 @@ def build_si_ifgm(
 
 
 def _query_loop(model_fn, probe_fn, points0, target, max_iters,
-                top5: bool = False):
+                top5: bool = False, early_exit: bool = True):
     """Shared accept/reject query machinery.
 
     probe_fn(i, state) must return (pert_plus, pert_minus), each a
     [B, N, 3]-broadcastable additive perturbation candidate for step i.
 
-    Accept rule per reference simba (SIadv_attack.py:381-400): try +eps;
-    if it improves the best margin, accept and skip -eps; else try -eps.
-    Loop ends when every example's margin is >= 0 (misclassified) or the
-    basis is exhausted.
+    Reference semantics pinned exactly (SIadv_attack.py:379-401):
+      * try +eps first (CPython iterates ``{s, -s}`` positive-first for
+        every step size the runners use); if it improves the best
+        margin, accept and skip -eps; else try -eps;
+      * ``best_loss`` starts at -999, NOT the clean margin — the first
+        probe of an active example is therefore always accepted, even
+        if it worsens the clean margin;
+      * simba/simbapp return immediately for examples the victim
+        already misclassifies (:367-368, 1 query); the SI-query loop
+        does NOT (:533-534 are commented out upstream) and still probes
+        until its own margin turns positive — ``early_exit`` switches
+        between the two.
+
+    Loop ends when every example's margin is >= 0 (misclassified) or
+    the basis is exhausted.
     """
 
     def margin(pts):
         if top5:
             return cw_margin_loss_top5(model_fn(pts), target, kappa=-999.0)
         return cw_margin_loss(model_fn(pts), target, kappa=-999.0)
+
+    m0 = margin(points0)
+    if early_exit:
+        # clean-misclassified examples never enter the loop
+        best0 = jnp.where(m0 >= 0.0, m0, -999.0)
+    else:
+        best0 = jnp.full_like(m0, -999.0)
 
     def cond(state):
         i, pts, best, queries = state
@@ -195,7 +213,7 @@ def _query_loop(model_fn, probe_fn, points0, target, max_iters,
     init = (
         jnp.int32(0),
         points0,
-        margin(points0),
+        best0,
         jnp.ones((b,), dtype=jnp.int32),  # the initial classification query
     )
     _, pts, best, queries = jax.lax.while_loop(cond, body, init)
@@ -232,7 +250,18 @@ def build_simba(model_fn, cfg: SIAdvConfig):
 
 
 def build_simbapp(wb_model_fn, model_fn, cfg: SIAdvConfig):
-    """SimBA++: sample the probe coordinate from the white-box |grad|."""
+    """SimBA++: sample the probe coordinate from the white-box |grad|.
+
+    Documented deviation: the reference flattens the [1, 3, N] gradient
+    (flat index = channel*N + point) but decodes its categorical sample
+    as ``channel = f % 3, idx = f // 3`` (SIadv_attack.py:452,466-469)
+    — a layout mismatch that perturbs a coordinate unrelated to the
+    sampled |grad| weight, scrambling the proposal distribution into
+    near-uniform.  We flatten [B, N, 3] (flat = point*3 + coord) and
+    decode consistently, so probes actually follow the sensitivity map.
+    The reference also draws INDEPENDENT gaussian noise for the + and -
+    probes (:472); we negate one draw — both are N(0, 0.1) proposals.
+    """
 
     @jax.jit
     def run(points, target, key):
@@ -309,6 +338,7 @@ def build_si_query_attack(wb_model_fn, model_fn, cfg: SIAdvConfig):
         adv_frame, best, queries = _query_loop(
             model_in_frame, probe_fn, new_pts0, target, n,
             top5=cfg.top5_attack,
+            early_exit=False,  # reference :533-534 is commented out
         )
         adv = from_tangent_frame(adv_frame, u, tr)
         lg = model_fn(adv)
