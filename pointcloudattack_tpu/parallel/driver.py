@@ -53,6 +53,31 @@ def run_sharded_attack(
     )
 
 
+def run_sharded_training(
+    model,
+    variables: dict,
+    cfg,
+    train_data: np.ndarray,
+    train_labels: np.ndarray,
+    mesh=None,
+    **fit_kwargs,
+) -> dict:
+    """Data-parallel fit over the mesh (SURVEY §2.6 training-side DP).
+
+    Replicated params, batch-sharded data — the dryrun_multichip
+    pattern made reusable; delegates to ``train.trainer.fit`` with the
+    mesh attached.  ``cfg.batch_size`` must divide by the mesh size
+    (fit raises otherwise).
+    """
+    from pointcloudattack_tpu.train.trainer import fit
+
+    mesh = mesh or make_mesh()
+    return fit(
+        model, variables, cfg, train_data, train_labels,
+        mesh=mesh, **fit_kwargs,
+    )
+
+
 def sharded_accuracy(
     model_fn: Callable,
     data: np.ndarray,

@@ -139,12 +139,22 @@ def fit(
     eval_data: np.ndarray | None = None,
     eval_labels: np.ndarray | None = None,
     log_fn: Callable[[str], None] | None = None,
+    mesh=None,
 ) -> dict:
-    """Small-scale host-loop fit; returns final variables dict.
+    """Host-loop fit; returns final variables dict.
 
-    For production-scale training use runtime/parallel drivers; this loop
-    is the moral twin of reference train.py's epoch loop (train.py:146-194).
+    The loop is the moral twin of reference train.py's epoch loop
+    (train.py:146-194).  Pass ``mesh`` (a 1-D "data" Mesh, see
+    parallel/mesh.py) to run data-parallel: params/opt state are
+    replicated, every batch is sharded over the mesh's data axis, and
+    XLA inserts the gradient psum from the sharding annotations — the
+    step function itself is unchanged.  Batch selection uses the same
+    host RNG either way, so sharded and single-device runs see
+    identical batches (results match up to cross-shard reduction
+    order).  ``parallel.driver.run_sharded_training`` wraps this.
     """
+    import contextlib
+
     num = len(train_labels)
     bs = min(cfg.batch_size, num)
     steps_per_epoch = max(1, num // bs)
@@ -156,6 +166,30 @@ def fit(
     opt = make_optimizer(cfg, steps_per_epoch)
     opt_state = opt.init(params)
 
+    data_sh = None
+    if mesh is not None:
+        from pointcloudattack_tpu.parallel.mesh import (
+            batch_sharding,
+            replicated,
+        )
+
+        n_dev = mesh.devices.size
+        if bs % n_dev:
+            raise ValueError(
+                f"batch_size {bs} not divisible by mesh size {n_dev}"
+            )
+        data_sh = batch_sharding(mesh)
+        repl = replicated(mesh)
+        params = jax.device_put(params, repl)
+        batch_stats = jax.device_put(batch_stats, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+    def put(a):
+        a = jnp.asarray(a)
+        return jax.device_put(a, data_sh) if data_sh is not None else a
+
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+
     rng = np.random.RandomState(seed)
     key = jax.random.PRNGKey(seed)
     best_acc, best = -1.0, None
@@ -164,12 +198,13 @@ def fit(
         for i in range(steps_per_epoch):
             idx = order[i * bs : (i + 1) * bs]
             key, sub = jax.random.split(key)
-            params, batch_stats, opt_state, metrics = train_step(
-                params, batch_stats, opt_state,
-                jnp.asarray(train_data[idx]),
-                jnp.asarray(train_labels[idx]),
-                sub,
-            )
+            with ctx:
+                params, batch_stats, opt_state, metrics = train_step(
+                    params, batch_stats, opt_state,
+                    put(train_data[idx]),
+                    put(train_labels[idx]),
+                    sub,
+                )
         if eval_data is not None:
             correct = []
             for j in range(0, len(eval_labels), bs):
