@@ -212,6 +212,11 @@ def main():
                 "unit": "clouds/s",
                 "vs_baseline": round(cw["clouds_per_sec"] / 1.0, 3),
                 "mfu": cw["mfu"],
+                # cost_analysis counts scan bodies once; mfu multiplies
+                # by the loop count, so one-time out-of-scan work is
+                # overcounted — mfu is an UPPER bound, loosest for
+                # loop-light families (aof, si_ifgm)
+                "mfu_method": "scan_body_flops_x_iters_upper_bound",
                 "families": families,
             }
         )

@@ -140,8 +140,12 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
                 )
 
             def loss_and_logits(l, h):
-                full_logits = model_fn(l + h)
-                lfc_logits = model_fn(l)
+                # ONE [2B] batched forward instead of two [B] forwards
+                # (reference runs them separately, TAOF_attack.py:150-152)
+                # — per-example math is batch-independent at eval, so
+                # the logits are identical and the MXU sees 2x the rows
+                both = model_fn(jnp.concatenate([l + h, l], axis=0))
+                full_logits, lfc_logits = jnp.split(both, 2, axis=0)
                 loss = jnp.sum(
                     (1.0 - cfg.gamma) * adv_fn(full_logits, target)
                     + cfg.gamma * adv_fn(lfc_logits, target)

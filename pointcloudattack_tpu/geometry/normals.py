@@ -49,9 +49,10 @@ def estimate_normal(pc: jax.Array, k: int = 3) -> jax.Array:
 
     Args:
       pc: [B, N, 3].
-      k: neighbourhood size (reference GeoA3 uses k=2 via cfg.knn_range? —
-        Eval_GeoA3 passes curv_loss_knn; estimate_normal default here
-        mirrors utility.py's call sites).
+      k: neighbourhood size, counting neighbours EXCLUDING the point
+        itself — the reference queries k+1 and drops the self match
+        (utility.py:48-49).  The default 3 is exactly what the GeoA3
+        loop passes (GeoA3_attack.py:221, ``estimate_normal(pc, k=3)``).
 
     Returns:
       [B, N, 3] unit normals (gradient-stopped like the reference's

@@ -11,7 +11,7 @@ On TPU the ``-2 x.y^T`` term is an MXU matmul; XLA fuses the rank-1 norm
 adds into the matmul epilogue.  A Pallas kernel is provided for the fused
 "distance -> row-min/row-reduce" pattern used by Chamfer/Hausdorff so the
 [N, M] matrix never round-trips through HBM (see
-pointcloudattack_tpu/ops/pallas/pairwise_kernel.py); the plain dense matrix
+pointcloudattack_tpu/ops/pallas/chamfer_kernel.py); the plain dense matrix
 below is already near-roofline for N <= 10k.
 """
 
