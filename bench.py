@@ -161,7 +161,9 @@ def bench_aof():
     }
 
 
-def bench_si_ifgm():
+def bench_si_ifgm(normal_refresh: int = 1):
+    """refresh=1 is the reference's per-step frame rebuild; refresh=5 is
+    the measured 2.5x fast path (BENCH.md round 3)."""
     from pointcloudattack_tpu.attacks.siadv import (
         SIAdvConfig,
         build_si_ifgm,
@@ -176,7 +178,8 @@ def bench_si_ifgm():
         model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=b
     )
     model_fn = make_model_fn(model, variables)
-    cfg = SIAdvConfig(eps=0.18, step_size=0.007, max_steps=50)
+    cfg = SIAdvConfig(eps=0.18, step_size=0.007, max_steps=50,
+                      normal_refresh=normal_refresh)
     attack = build_si_ifgm(model_fn, model_fn, cfg)
     dt = _time_enqueued(
         lambda i: attack(data + 0e0 * i, target), lambda out: out[1]
@@ -196,6 +199,7 @@ def main():
         ("cw_dgcnn", bench_cw_dgcnn),
         ("aof", bench_aof),
         ("si_ifgm", bench_si_ifgm),
+        ("si_ifgm_r5", lambda: bench_si_ifgm(normal_refresh=5)),
     ):
         try:
             families[name] = fn()

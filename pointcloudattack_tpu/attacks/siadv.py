@@ -48,6 +48,13 @@ class SIAdvConfig:
     step_size: float = 0.07  # reference default (Eval_SIadv.py:192)
     max_steps: int = 50  # iFGM iterations
     normal_k: int = 20
+    # re-estimate normals every this many iFGM steps.  1 = the reference
+    # semantics (SIadv_attack.py:321 recomputes per step).  The per-step
+    # kNN+PCA dominates iFGM wall time on TPU; points move <= step_size
+    # per iteration, so a small refresh interval trades negligible frame
+    # staleness for throughput (measured in BENCH.md; ASR parity at
+    # refresh=5 pinned by tests/test_attacks.py)
+    normal_refresh: int = 1
     max_queries: int = 3 * 1024  # SimBA basis elements: ONE pass over
     # the shuffled 3N basis, like the reference (SIadv_attack.py:371-381)
     noise_std: float = 0.1  # SimBA++ step noise
@@ -122,9 +129,17 @@ def build_si_ifgm(
         # N=1024, the only size its runners use, this equals sqrt(3n))
         scale = jnp.sqrt(3.0 * 1024.0)
 
-        def step(carry, _):
-            pts = carry
-            normal = estimate_normal(pts, k=cfg.normal_k)
+        def step(carry, i):
+            pts, normal = carry
+            if cfg.normal_refresh == 1:
+                normal = estimate_normal(pts, k=cfg.normal_k)
+            else:
+                normal = jax.lax.cond(
+                    i % cfg.normal_refresh == 0,
+                    lambda p, _n: estimate_normal(p, k=cfg.normal_k),
+                    lambda _p, n: n,
+                    pts, normal,
+                )
             new_pts, u, tr = to_tangent_frame(
                 jax.lax.stop_gradient(pts), normal
             )
@@ -140,9 +155,14 @@ def build_si_ifgm(
             new_pts = new_pts - cfg.step_size * scale * grad / (norm + 1e-9)
             pts = from_tangent_frame(new_pts, u, tr)
             pts = clip_points_linf(pts, ori, cfg.eps)
-            return pts, None
+            return (pts, normal), None
 
-        adv, _ = jax.lax.scan(step, ori, None, length=cfg.max_steps)
+        # step 0 always recomputes (i % refresh == 0) — the carry init
+        # is never read, so skip the extra kNN
+        normal0 = jnp.zeros_like(ori)
+        (adv, _), _ = jax.lax.scan(
+            step, (ori, normal0), jnp.arange(cfg.max_steps)
+        )
         final_logits = target_model_fn(adv)
         pred = jnp.argmax(final_logits, axis=-1)
         return adv, pred, success_rule(final_logits, target, cfg.top5_attack)

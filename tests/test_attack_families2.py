@@ -26,6 +26,21 @@ class TestSIadv:
         norms = np.sqrt(((np.asarray(adv) - clouds[:4]) ** 2).sum(-1))
         assert norms.max() <= 0.45 + 1e-4
 
+    def test_ifgm_normal_refresh_asr_parity(self, trained_pointnet):
+        """normal_refresh=5 (recompute tangent frames every 5 steps
+        instead of the reference's every step) keeps ASR and the Linf
+        budget; the throughput win is measured in BENCH.md."""
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cfg = siadv.SIAdvConfig(eps=0.45, step_size=0.02, max_steps=30,
+                                normal_k=8, normal_refresh=5)
+        attack = siadv.build_si_ifgm(model_fn, model_fn, cfg)
+        adv, pred, success = attack(
+            jnp.asarray(clouds[:4]), jnp.asarray(labels[:4])
+        )
+        assert np.asarray(success).mean() >= 0.75
+        norms = np.sqrt(((np.asarray(adv) - clouds[:4]) ** 2).sum(-1))
+        assert norms.max() <= 0.45 + 1e-4
+
     def test_simba(self, trained_pointnet):
         model_fn, clouds, labels = _fn(trained_pointnet)
         cfg = siadv.SIAdvConfig(step_size=0.4)

@@ -157,6 +157,27 @@ class TestLowpassBasis:
             np.asarray(lfc_l), np.asarray(lfc_d), atol=0.02 * scale
         )
 
+    def test_chebyshev_matches_dense_subspace(self):
+        """The MXU-native Chebyshev subspace solver (the TPU default in
+        the 5m < N regime) spans the dense low-pass subspace."""
+        pc = self._cloud()
+        m = 24
+        evals_d, basis_d = geometry.lowpass_basis(
+            pc, k=10, m=m, method="dense"
+        )
+        evals_c, basis_c = geometry.lowpass_basis(
+            pc, k=10, m=m, method="chebyshev"
+        )
+        np.testing.assert_allclose(
+            np.asarray(evals_c), np.asarray(evals_d), atol=5e-3
+        )
+        lfc_d, _ = geometry.lowpass_split(pc, basis_d)
+        lfc_c, _ = geometry.lowpass_split(pc, basis_c)
+        scale = np.abs(np.asarray(lfc_d)).max()
+        np.testing.assert_allclose(
+            np.asarray(lfc_c), np.asarray(lfc_d), atol=0.02 * scale
+        )
+
     def test_auto_dispatch(self):
         pc = self._cloud(n=64)
         # 5m >= n -> dense fallback must kick in and still work

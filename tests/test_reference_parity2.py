@@ -1067,6 +1067,12 @@ class TestUntargetedAOFEndToEnd:
         import importlib.util
         import re
 
+        # Eval_AOF imports dataset.bosphorus_dataset -> open3d; stub it
+        # HERE so the test doesn't depend on an earlier test in the
+        # session having done so (order-independence)
+        if "open3d" not in sys.modules:
+            sys.modules["open3d"] = types.ModuleType("open3d")
+
         import attack.CW.CW_utils.dist_utils as cw_utils_pkg  # noqa: F401
 
         alias = types.ModuleType("attack.CW.utils")
