@@ -64,6 +64,14 @@ class AOFConfig:
     # init jitter, so the bases are identical to float precision; set
     # False to restore the per-round recompute.
     reuse_basis: bool = True
+    # fuse the two per-step forwards (full = lfc+hfc and lfc alone,
+    # reference TAOF_attack.py:150-152 runs them separately) into one
+    # [2B] call.  Only valid for batch-independent model_fns: an SRS
+    # defense wrapper splits its drop-mask key by batch size, so the
+    # concatenated call would give the two halves DIFFERENT masks.
+    # Measured perf-neutral on PointNet B=8 (BENCH.md) — off by default,
+    # opt in for victims whose matmuls are row-starved at small B.
+    batched_forward: bool = False
 
 
 def build_aof_attack(model_fn, cfg: AOFConfig):
@@ -140,12 +148,17 @@ def build_aof_attack(model_fn, cfg: AOFConfig):
                 )
 
             def loss_and_logits(l, h):
-                # ONE [2B] batched forward instead of two [B] forwards
-                # (reference runs them separately, TAOF_attack.py:150-152)
-                # — per-example math is batch-independent at eval, so
-                # the logits are identical and the MXU sees 2x the rows
-                both = model_fn(jnp.concatenate([l + h, l], axis=0))
-                full_logits, lfc_logits = jnp.split(both, 2, axis=0)
+                if cfg.batched_forward:
+                    # ONE [2B] batched forward instead of two [B]
+                    # forwards — identical logits only for
+                    # batch-independent model_fns (see AOFConfig)
+                    both = model_fn(jnp.concatenate([l + h, l], axis=0))
+                    full_logits, lfc_logits = jnp.split(both, 2, axis=0)
+                else:
+                    # two [B] forwards like the reference
+                    # (TAOF_attack.py:150-152)
+                    full_logits = model_fn(l + h)
+                    lfc_logits = model_fn(l)
                 loss = jnp.sum(
                     (1.0 - cfg.gamma) * adv_fn(full_logits, target)
                     + cfg.gamma * adv_fn(lfc_logits, target)

@@ -53,7 +53,8 @@ class SIAdvConfig:
     # kNN+PCA dominates iFGM wall time on TPU; points move <= step_size
     # per iteration, so a small refresh interval trades negligible frame
     # staleness for throughput (measured in BENCH.md; ASR parity at
-    # refresh=5 pinned by tests/test_attacks.py)
+    # refresh=5 pinned by tests/test_attack_families2.py::
+    # test_ifgm_normal_refresh_asr_parity)
     normal_refresh: int = 1
     max_queries: int = 3 * 1024  # SimBA basis elements: ONE pass over
     # the shuffled 3N basis, like the reference (SIadv_attack.py:371-381)
@@ -119,6 +120,13 @@ def build_si_ifgm(
     Returns compiled (points [B,N,3], target [B]) ->
     (adv [B,N,3], pred [B], success [B]).
     """
+    if cfg.normal_refresh < 1:
+        # 0 would put a remainder-by-zero inside the traced scan (XLA
+        # rem-by-zero is undefined, the attack would silently degenerate)
+        raise ValueError(
+            f"normal_refresh must be >= 1, got {cfg.normal_refresh} "
+            "(use max_steps to never refresh within a run)"
+        )
 
     @jax.jit
     def run(points, target):

@@ -126,6 +126,8 @@ def _load_dup_variables(path: str, npoint: int) -> dict:
         from pointcloudattack_tpu.train.torch_port import port_checkpoint
 
         return port_checkpoint("PUNet", path)
+    import jax
+
     from pointcloudattack_tpu.defense import DUPNet
     from pointcloudattack_tpu.train.checkpoint import restore_checkpoint
 
@@ -448,7 +450,13 @@ def _run_family(
             adv, pred, success, queries = S.build_si_query_attack(
                 wb_fn, model_fn, acfg
             )(data, target)
-        print(f"mean query cost: {np.asarray(queries).mean():.1f}")
+        # slice mesh padding off before averaging — cmd_attack pads the
+        # batch with edge-replicated rows when sharding, and those
+        # duplicates would skew the reported query cost
+        print(
+            "mean query cost: "
+            f"{np.asarray(queries)[: len(clouds)].mean():.1f}"
+        )
     elif family == "cta":
         from pointcloudattack_tpu.attacks.cta import (
             CTAConfig,
@@ -639,6 +647,11 @@ def cmd_attack(args):
     key = jax.random.PRNGKey(cfg.seed)
     family = args.family
 
+    if args.all_targets and not args.face_txt:
+        # the sweep is defined for face-probe impersonation only
+        # (reference attack/KNN/Eval_KNN.py loops targets over ONE face
+        # probe); silently ignoring the flag would fake a full sweep
+        raise SystemExit("--all_targets requires --face_txt/--face_label")
     if args.face_txt and args.all_targets:
         # one-command all-targets impersonation sweep: every class id
         # becomes the target of one batch row (the reference's targeted
@@ -682,7 +695,11 @@ def cmd_attack(args):
     # fill the mesh, pad/shard the batch and let XLA partition the
     # jitted attack (attack math is per-example; only batch-sized RNG
     # draws differ when padding changes B).  The ISO family is a
-    # per-sample host bandit loop and stays single-device.
+    # per-sample host bandit loop and stays single-device.  This builds
+    # on the same pad_to_multiple/shard_batch primitives as
+    # parallel/driver.run_sharded_attack; it doesn't call that wrapper
+    # because the CLI also carries labels/true_labels through the
+    # pad-and-slice contract and dispatches per family inside the mesh.
     true_n = len(labels)
     mesh = None
     if (

@@ -208,7 +208,11 @@ def _chebyshev_lowpass(lap: jax.Array, deg: jax.Array, m: int, key):
         return w, V
 
     X = jax.random.normal(key, (n, s), dtype=lap.dtype)
-    a = lam_max * (2.0 * m / n)
+    # same clip as the per-round refinement below: an explicit
+    # method="chebyshev" outside the 5m < N regime would otherwise start
+    # with a cutoff at (or above) lam_max, inverting the filter (and at
+    # exactly N = 2m dividing by zero in the Chebyshev map)
+    a = jnp.clip(lam_max * (2.0 * m / n), 1e-6, lam_max * 0.9)
     w = jnp.zeros((s,), dtype=lap.dtype)
     for d in _CHEB_DEGREES:
         X = cheb_filter(X, a, d)

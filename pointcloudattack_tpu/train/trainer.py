@@ -208,16 +208,16 @@ def fit(
         if eval_data is not None:
             correct = []
             for j in range(0, len(eval_labels), bs):
-                correct.append(
-                    np.asarray(
-                        eval_step(
-                            params,
-                            batch_stats,
-                            jnp.asarray(eval_data[j : j + bs]),
-                            jnp.asarray(eval_labels[j : j + bs]),
-                        )
-                    )
-                )
+                # shard eval batches over the mesh too (tail batches
+                # that don't divide the mesh stay replicated)
+                xb = jnp.asarray(eval_data[j : j + bs])
+                yb = jnp.asarray(eval_labels[j : j + bs])
+                if data_sh is not None and len(yb) % mesh.devices.size == 0:
+                    xb = jax.device_put(xb, data_sh)
+                    yb = jax.device_put(yb, data_sh)
+                with ctx:
+                    batch_correct = eval_step(params, batch_stats, xb, yb)
+                correct.append(np.asarray(batch_correct))
             acc = float(np.concatenate(correct).mean())
             if acc > best_acc:
                 best_acc = acc

@@ -318,6 +318,41 @@ def test_attack_face_probe_all_targets(trained_run, tmp_path):
     assert len(dumps) == 3  # one artifact per target class
 
 
+def test_all_targets_requires_face_txt(trained_run):
+    """Dataset-mode --all_targets must refuse, not silently run a
+    single-target attack pretending to be the sweep."""
+    out, ckpt = trained_run
+    with pytest.raises(SystemExit, match="face_txt"):
+        main([
+            "attack", "cw", "--dataset", "synthetic", "--model",
+            "PointNet", "--num_points", "64", "--num_classes", "3",
+            "--checkpoint", ckpt, "--output_dir", out,
+            "--attack_method", "target", "--all_targets",
+            "--binary_step", "1", "--num_iter", "5", "--num_samples", "2",
+        ])
+
+
+def test_load_dup_variables_orbax_dir(tmp_path):
+    """--defense_checkpoint also accepts an orbax/npz dir of PUNet
+    variables (not just the reference .pth)."""
+    import jax
+
+    from pointcloudattack_tpu.cli.main import _load_dup_variables
+    from pointcloudattack_tpu.defense import DUPNet
+    from pointcloudattack_tpu.train.checkpoint import save_checkpoint
+
+    dup = DUPNet(npoint=64, up_ratio=4)
+    variables = dup.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "dup_ckpt")
+    save_checkpoint(path, variables)
+    restored = _load_dup_variables(path, 64)
+    flat_a = jax.tree_util.tree_leaves(variables)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_attack_iso_cli_with_csv_log(trained_run):
     out, ckpt = trained_run
     main([

@@ -178,6 +178,29 @@ class TestLowpassBasis:
             np.asarray(lfc_c), np.asarray(lfc_d), atol=0.02 * scale
         )
 
+    def test_chebyshev_outside_auto_regime(self):
+        """Explicit method="chebyshev" with 5m >= N (outside the auto
+        dispatch window) must still produce a finite low-pass basis —
+        the initial cutoff needs the same clip as the per-round
+        refinement (at exactly N = 2m the unclipped cutoff divides by
+        zero in the Chebyshev map)."""
+        pc = self._cloud(n=64)
+        m = 32  # N = 2m: the previously NaN-producing corner
+        evals_c, basis_c = geometry.lowpass_basis(
+            pc, k=10, m=m, method="chebyshev"
+        )
+        assert np.isfinite(np.asarray(basis_c)).all()
+        assert np.isfinite(np.asarray(evals_c)).all()
+        evals_d, basis_d = geometry.lowpass_basis(
+            pc, k=10, m=m, method="dense"
+        )
+        lfc_d, _ = geometry.lowpass_split(pc, basis_d)
+        lfc_c, _ = geometry.lowpass_split(pc, basis_c)
+        scale = np.abs(np.asarray(lfc_d)).max()
+        np.testing.assert_allclose(
+            np.asarray(lfc_c), np.asarray(lfc_d), atol=0.05 * scale
+        )
+
     def test_auto_dispatch(self):
         pc = self._cloud(n=64)
         # 5m >= n -> dense fallback must kick in and still work
