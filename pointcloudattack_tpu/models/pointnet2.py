@@ -75,11 +75,17 @@ class SetAbstractionMSG(nn.Module):
     ):
         fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
         new_xyz = index_points(xyz, fps_idx)
+        # one HIGHEST-precision distance matmul shared by every radius
+        # scale (the reference recomputes it inside each query_ball_point,
+        # model/pointnet2_MSG.py:31-41 via pointnet2_utils.py:84-104)
+        from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
+
+        sqr = pairwise_sqdist(new_xyz, xyz)
         outs = []
         for i, (radius, k) in enumerate(
             zip(self.radius_list, self.nsample_list)
         ):
-            idx = query_ball_point(radius, k, xyz, new_xyz)
+            idx = query_ball_point(radius, k, xyz, new_xyz, sqr=sqr)
             grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
                 grouped_pts = index_points(points, idx)

@@ -22,6 +22,7 @@ def query_ball_point(
     nsample: int,
     xyz: jax.Array,
     new_xyz: jax.Array,
+    sqr: jax.Array | None = None,
 ) -> jax.Array:
     """Group up to ``nsample`` points within ``radius`` of each query.
 
@@ -30,12 +31,18 @@ def query_ball_point(
       nsample: static group size.
       xyz: [B, N, 3] all points.
       new_xyz: [B, S, 3] query centroids.
+      sqr: optional precomputed ``pairwise_sqdist(new_xyz, xyz)``
+        [B, S, N] — multi-scale callers (PointNet++ MSG queries the
+        SAME centroid/point sets at several radii, reference
+        model/pointnet2_MSG.py:31-41) pass it once instead of paying
+        the HIGHEST-precision distance matmul per scale.
 
     Returns:
       [B, S, nsample] int32 indices into N.
     """
     n = xyz.shape[1]
-    sqr = pairwise_sqdist(new_xyz, xyz)  # [B, S, N]
+    if sqr is None:
+        sqr = pairwise_sqdist(new_xyz, xyz)  # [B, S, N]
     point_idx = jnp.arange(n, dtype=jnp.int32)  # [N]
     in_ball = sqr <= radius * radius
 

@@ -130,6 +130,26 @@ class TestBallQuery:
                 expect.append(expect[0])
             np.testing.assert_array_equal(got[0, s], np.array(expect))
 
+    def test_precomputed_sqr_matches(self):
+        """MSG's shared distance matrix gives identical groupings."""
+        from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
+
+        x = RNG.rand(2, 64, 3).astype(np.float32)
+        q = x[:, :16]
+        sqr = pairwise_sqdist(jnp.asarray(q), jnp.asarray(x))
+        for radius, nsample in ((0.2, 4), (0.4, 8)):
+            a = np.asarray(
+                ops.query_ball_point(
+                    radius, nsample, jnp.asarray(x), jnp.asarray(q)
+                )
+            )
+            b = np.asarray(
+                ops.query_ball_point(
+                    radius, nsample, jnp.asarray(x), jnp.asarray(q), sqr=sqr
+                )
+            )
+            np.testing.assert_array_equal(a, b)
+
 
 class TestGrouping:
     def test_shapes(self):
