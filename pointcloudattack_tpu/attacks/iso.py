@@ -177,6 +177,162 @@ def thompson_sample_attack(
     return best_w, False, num_init
 
 
+def build_tsi_probe_batched(model_fn: Callable):
+    """Jitted (objs [B,N,3], labels [B], ws [B,3,3]) -> (pred, true_prob).
+
+    Per-sample isometries in ONE victim forward — the lockstep TSI
+    probe (each sample carries its own candidate W).
+    """
+
+    @jax.jit
+    def probe(objs, labels, ws):
+        logits = model_fn(jnp.einsum("bnc,bdc->bnd", objs, ws))
+        prob = jax.nn.softmax(logits, axis=-1)
+        pred = jnp.argmax(logits, axis=-1)
+        true_prob = jnp.take_along_axis(
+            prob, labels[:, None], axis=-1
+        )[:, 0]
+        return pred, true_prob
+
+    return probe
+
+
+def _rotation_xyz_jnp(angles: jax.Array) -> jax.Array:
+    """Batched R_z R_y R_x ([..., 3] -> [..., 3, 3]), the jnp twin of
+    ``rotation_xyz`` (reference isometry_init.py:4-28)."""
+    cx, sx = jnp.cos(angles[..., 0]), jnp.sin(angles[..., 0])
+    cy, sy = jnp.cos(angles[..., 1]), jnp.sin(angles[..., 1])
+    cz, sz = jnp.cos(angles[..., 2]), jnp.sin(angles[..., 2])
+    one = jnp.ones_like(cx)
+    zero = jnp.zeros_like(cx)
+
+    def mat(rows):
+        return jnp.stack(
+            [jnp.stack(r, axis=-1) for r in rows], axis=-2
+        )
+
+    rx = mat([[one, zero, zero], [zero, cx, -sx], [zero, sx, cx]])
+    ry = mat([[cy, zero, sy], [zero, one, zero], [-sy, zero, cy]])
+    rz = mat([[cz, sz, zero], [-sz, cz, zero], [zero, zero, one]])
+    return rz @ ry @ rx
+
+
+def _reflection_jnp(angles: jax.Array) -> jax.Array:
+    """Batched Householder I - 2uu^T ([..., >=2] -> [..., 3, 3]),
+    jnp twin of ``reflection`` (reference isometry_init.py:65-76)."""
+    c1, s1 = jnp.cos(angles[..., 0]), jnp.sin(angles[..., 0])
+    c2, s2 = jnp.cos(angles[..., 1]), jnp.sin(angles[..., 1])
+    u = jnp.stack([s1, c1 * s2, c1 * c2], axis=-1)  # [..., 3]
+    eye = jnp.eye(3, dtype=angles.dtype)
+    return eye - 2.0 * u[..., :, None] * u[..., None, :]
+
+
+def thompson_sample_attack_lockstep(
+    bandit: BernThompson,
+    objs: jax.Array,
+    labels: jax.Array,
+    num_init: int = 10,
+    kind: str = "rotation",
+    model_fn: Callable | None = None,
+    key: jax.Array | None = None,
+):
+    """Device-resident batched-Thompson TSI over a whole batch at once.
+
+    DEVIATION from reference iso_attack.py:104-118 (opt-in, CLI
+    ``--iso_lockstep``): the reference runs ONE bandit strictly
+    sequentially on the host — sample i+1's posterior has seen every
+    probe of sample i, and angles come from numpy RNG.  Here the ENTIRE
+    bandit lives inside one ``lax.while_loop``: each round draws an
+    independent Thompson arm per sample from the CURRENT Beta posterior
+    (``jax.random.beta``), builds all candidate isometries in-graph,
+    probes the whole batch in one victim forward, and applies all
+    rewards — standard batched Thompson sampling, ONE device dispatch
+    for the whole TSI phase instead of one host round-trip per probe
+    per sample.  The reward rule, Beta posterior family, per-sample
+    best-W rule (lowest true-class probability, iso_attack.py:109-114)
+    and per-sample probe budget are unchanged; the posterior update
+    ORDER and the RNG stream differ.
+
+    The ``bandit`` provides (d, a0, b0) and its posterior is read as
+    the initial state and written back after the run, so interleaving
+    with sequential calls composes.
+
+    Returns (ws [B,3,3] jnp, success [B] bool np, tries [B] int np).
+    """
+    if model_fn is None:
+        raise ValueError("model_fn is required")
+    if key is None:
+        key = jax.random.PRNGKey(bandit.rng.randint(0, 2**31 - 1))
+    b = int(objs.shape[0])
+    d = bandit.d
+    span = bandit.b0 - bandit.a0
+
+    def round_body(state):
+        (alpha, beta, best_w, best_prob, success, tries, i, k) = state
+        k, k_theta, k_ang = jax.random.split(k, 3)
+        theta = jax.random.beta(
+            k_theta, alpha[None], beta[None], shape=(b, d, d, d)
+        )
+        flat_arm = jnp.argmax(theta.reshape(b, -1), axis=-1)  # [B]
+        arm = jnp.stack(
+            jnp.unravel_index(flat_arm, (d, d, d)), axis=-1
+        ).astype(objs.dtype)  # [B, 3]
+        lo = bandit.a0 + span * arm / d
+        hi = bandit.a0 + span * (arm + 1.0) / d
+        angles = jax.random.uniform(
+            k_ang, (b, 3), dtype=objs.dtype, minval=lo, maxval=hi
+        )
+        ws = (
+            _reflection_jnp(angles)
+            if kind == "reflection"
+            else _rotation_xyz_jnp(angles)
+        )
+        logits = model_fn(jnp.einsum("bnc,bdc->bnd", objs, ws))
+        prob = jax.nn.softmax(logits, axis=-1)
+        pred = jnp.argmax(logits, axis=-1)
+        true_prob = jnp.take_along_axis(
+            prob, labels[:, None], axis=-1
+        )[:, 0]
+        wrong = pred != labels
+        active = ~success
+        # masked posterior update: finished samples stop rewarding
+        onehot = jax.nn.one_hot(flat_arm, d * d * d, dtype=alpha.dtype)
+        w_f = wrong.astype(alpha.dtype) * active.astype(alpha.dtype)
+        a_f = active.astype(alpha.dtype)
+        alpha = alpha + (onehot * w_f[:, None]).sum(0).reshape(d, d, d)
+        beta = beta + (onehot * (a_f - w_f)[:, None]).sum(0).reshape(
+            d, d, d
+        )
+        better = active & (true_prob < best_prob)
+        best_prob = jnp.where(better, true_prob, best_prob)
+        best_w = jnp.where(better[:, None, None], ws, best_w)
+        newly = active & wrong
+        tries = jnp.where(newly, i + 1, tries)
+        success = success | newly
+        return (alpha, beta, best_w, best_prob, success, tries, i + 1, k)
+
+    def cond(state):
+        success, i = state[4], state[6]
+        return jnp.logical_and(i < num_init, ~jnp.all(success))
+
+    init = (
+        jnp.asarray(bandit.alpha, dtype=jnp.float32),
+        jnp.asarray(bandit.beta, dtype=jnp.float32),
+        jnp.broadcast_to(jnp.eye(3, dtype=objs.dtype), (b, 3, 3)),
+        jnp.full((b,), jnp.inf, dtype=objs.dtype),
+        jnp.zeros((b,), dtype=bool),
+        jnp.full((b,), num_init, dtype=jnp.int32),
+        jnp.int32(0),
+        key,
+    )
+    alpha, beta, best_w, _, success, tries, _, _ = jax.jit(
+        lambda s: jax.lax.while_loop(cond, round_body, s)
+    )(init)
+    bandit.alpha = np.asarray(alpha, dtype=np.float64)
+    bandit.beta = np.asarray(beta, dtype=np.float64)
+    return best_w, np.asarray(success), np.asarray(tries)
+
+
 def build_gradient_iso_attack(model_fn: Callable, cfg: ISOConfig):
     """CTRI attack: Adam on the 3x3 matrix with spectral-norm penalty.
 

@@ -494,15 +494,33 @@ def _run_family(
         probs0 = np.asarray(jax.nn.softmax(model_fn(data), axis=-1))
         prob_before_all = probs0[np.arange(len(labels)), tgt_np]
 
+        if args.iso_lockstep:
+            # batched-Thompson TSI: one probe per round for the whole
+            # batch instead of one per round per sample (documented
+            # posterior-order deviation, attacks/iso.py::
+            # thompson_sample_attack_lockstep)
+            ws_all, ok_all, _tries = I.thompson_sample_attack_lockstep(
+                bandit, data, target, num_init=args.num_init,
+                model_fn=model_fn, key=jax.random.fold_in(key, 9001),
+            )
+            tsi_results = [
+                (ws_all[i], bool(ok_all[i])) for i in range(len(labels))
+            ]
+        else:
+            tsi_results = []
+            for i in range(len(labels)):
+                w, ok, _tries = I.thompson_sample_attack(
+                    None, bandit, data[i : i + 1], target[i : i + 1],
+                    num_init=args.num_init, probe=tsi_probe,
+                )
+                tsi_results.append((w, bool(ok)))
+
         succ_list, init_succ_list, adv_list = [], [], []
         pens, steps_list = [], []
         for i in range(len(labels)):
             obj = data[i : i + 1]
             lab = target[i : i + 1]
-            w, ok, tries = I.thompson_sample_attack(
-                None, bandit, obj, lab, num_init=args.num_init,
-                probe=tsi_probe,
-            )
+            w, ok = tsi_results[i]
             init_succ_list.append(int(ok))
             steps = 0
             pen = 0.0
@@ -971,6 +989,12 @@ def build_parser():
                         "(reference iso_attack.py default 50)")
     p.add_argument("--iso_lambda", type=float, default=1000.0,
                    help="ISO spectral-penalty weight (reference LAMBDA)")
+    p.add_argument("--iso_lockstep", action="store_true",
+                   help="batched-Thompson TSI: probe the whole batch "
+                        "per bandit round instead of per sample "
+                        "(posterior update ORDER deviates from the "
+                        "reference's strictly sequential bandit; same "
+                        "per-sample probe budget and reward rule)")
     p.add_argument("--top5_attack", action="store_true",
                    help="SIadv top-5 success rule "
                         "(reference SIadv_attack.py:156-158)")

@@ -134,6 +134,57 @@ class TestISO:
         assert w.shape == (3, 3)
         assert tries <= 8
 
+    def test_jnp_isometry_twins(self):
+        """Batched jnp rotation/reflection match the numpy originals."""
+        rng = np.random.RandomState(3)
+        angles = rng.uniform(-np.pi, np.pi, (5, 3)).astype(np.float32)
+        rot = np.asarray(iso._rotation_xyz_jnp(jnp.asarray(angles)))
+        ref = np.asarray(iso._reflection_jnp(jnp.asarray(angles)))
+        for i in range(5):
+            np.testing.assert_allclose(
+                rot[i], iso.rotation_xyz(angles[i]), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                ref[i], iso.reflection(angles[i]), atol=1e-5
+            )
+
+    def test_thompson_lockstep_matches_sequential_asr(
+        self, trained_pointnet
+    ):
+        """Batched-Thompson TSI reaches the sequential mode's success
+        level under the same per-sample probe budget (the posterior
+        update order is the only deviation — attacks/iso.py)."""
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        objs = jnp.asarray(clouds[:4])
+        labs = jnp.asarray(labels[:4])
+
+        seq_bandit = iso.BernThompson(d=4, a0=-np.pi, b0=np.pi, seed=0)
+        probe = iso.build_tsi_probe(model_fn)
+        seq_ok = []
+        for i in range(4):
+            _, ok, tries = iso.thompson_sample_attack(
+                None, seq_bandit, objs[i : i + 1], labs[i : i + 1],
+                num_init=12, probe=probe,
+            )
+            assert tries <= 12
+            seq_ok.append(ok)
+
+        lock_bandit = iso.BernThompson(d=4, a0=-np.pi, b0=np.pi, seed=0)
+        ws, lock_ok, tries = iso.thompson_sample_attack_lockstep(
+            lock_bandit, objs, labs, num_init=12, model_fn=model_fn,
+        )
+        # the device loop writes its posterior back to the host bandit
+        assert lock_bandit.alpha.sum() + lock_bandit.beta.sum() > 2 * 64
+        assert ws.shape == (4, 3, 3)
+        assert (tries <= 12).all()
+        # winning isometries actually fool the victim
+        pred = np.argmax(
+            np.asarray(model_fn(jnp.einsum("bnc,bdc->bnd", objs, ws))),
+            axis=-1,
+        )
+        assert (pred[lock_ok] != np.asarray(labs)[lock_ok]).all()
+        assert lock_ok.sum() >= sum(seq_ok) - 1  # same budget, same grid
+
     def test_gradient_attack(self, trained_pointnet):
         model_fn, clouds, labels = _fn(trained_pointnet)
         cfg = iso.ISOConfig(step_size=0.05, num_steps=100, lam=0.5)

@@ -372,6 +372,23 @@ def test_attack_iso_cli_with_csv_log(trained_run):
     assert len(rows) == 3  # header + 2 samples
 
 
+def test_attack_iso_cli_lockstep(trained_run, tmp_path):
+    out = str(tmp_path)
+    _, ckpt = trained_run
+    main([
+        "attack", "iso", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--num_iter", "50", "--num_init", "4", "--num_samples", "2",
+        "--step_size", "0.05", "--iso_lockstep",
+    ])
+    import csv
+
+    with open(os.path.join(out, "iso_attack_log.csv")) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 3  # header + 2 samples, same schema as sequential
+
+
 def test_train_and_attack_dgcnn(tmp_path):
     """Second model family end-to-end through the CLI."""
     out = str(tmp_path)
