@@ -333,15 +333,27 @@ def thompson_sample_attack_lockstep(
     return best_w, np.asarray(success), np.asarray(tries)
 
 
-def build_gradient_iso_attack(model_fn: Callable, cfg: ISOConfig):
+def build_gradient_iso_attack(
+    model_fn: Callable, cfg: ISOConfig, batched: bool = False
+):
     """CTRI attack: Adam on the 3x3 matrix with spectral-norm penalty.
 
     Compiled (obj [B,N,3], label [B], w0 [3,3], key) ->
     (w [3,3], success [B], penalty, steps).
+
+    batched=True vmaps the whole loop over a leading per-sample axis:
+    (objs [K,1,N,3], labels [K,1], w0s [K,3,3], keys [K]) ->
+    (ws [K,3,3], success [K,1], penalties [K], steps [K]) — one
+    executable, per-sample Adam state / early stop / RNG.  Under vmap a
+    finished lane's carry is select-masked, so every lane's trajectory
+    (and its returned w/steps/penalty) matches a solo B=1 run with the
+    same key up to batched-matmul rounding (~1e-7; step counts and
+    success exactly — tests/test_attack_families2.py::
+    test_ctri_batched_matches_sequential); wall time is the max step
+    count across lanes instead of the sum.
     """
     opt = optax.adam(cfg.step_size)
 
-    @jax.jit
     def run(obj, label, w0, key):
         def loss_fn(w, k):
             logits = model_fn(apply_iso(obj, w))
@@ -395,4 +407,6 @@ def build_gradient_iso_attack(model_fn: Callable, cfg: ISOConfig):
         pred = jnp.argmax(model_fn(apply_iso(obj, w)), axis=-1)
         return w, pred != label, pen, steps
 
-    return run
+    if batched:
+        return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0)))
+    return jax.jit(run)

@@ -484,6 +484,7 @@ def _run_family(
             I.ISOConfig(step_size=args.iso_step_size,
                         num_steps=args.num_iter or 50,
                         lam=args.iso_lambda),
+            batched=True,
         )
         tsi_probe = I.build_tsi_probe(model_fn)
 
@@ -515,26 +516,40 @@ def _run_family(
                 )
                 tsi_results.append((w, bool(ok)))
 
-        succ_list, init_succ_list, adv_list = [], [], []
-        pens, steps_list = [], []
-        for i in range(len(labels)):
-            obj = data[i : i + 1]
-            lab = target[i : i + 1]
-            w, ok = tsi_results[i]
-            init_succ_list.append(int(ok))
-            steps = 0
-            pen = 0.0
-            if not ok:
-                w, okv, pen, steps = grad_attack(
-                    obj, lab, w, jax.random.fold_in(key, i)
-                )
-                ok = bool(np.asarray(okv).all())
-            succ_list.append(ok)
-            adv_list.append(np.asarray(I.apply_iso(obj, w))[0])
-            pens.append(float(pen))
-            steps_list.append(int(steps))
+        init_succ_list = [int(ok) for _, ok in tsi_results]
+        ok_arr = np.asarray([ok for _, ok in tsi_results], dtype=bool)
+        ws_final = np.stack(
+            [np.asarray(w, dtype=np.float32) for w, _ in tsi_results]
+        )  # [B, 3, 3]
+        pens = [0.0] * len(labels)
+        steps_list = [0] * len(labels)
+        succ_list = [bool(o) for o in ok_arr]
+        if not ok_arr.all():
+            # every CTRI fallback in ONE executable: the vmapped
+            # per-sample loop (per-lane trajectories/keys match the old
+            # solo B=1 calls up to batched-matmul rounding —
+            # build_gradient_iso_attack docstring); lanes whose TSI
+            # already succeeded early-exit after one step and their
+            # results are discarded below
+            keys = jnp.stack(
+                [jax.random.fold_in(key, i) for i in range(len(labels))]
+            )
+            bw, bok, bpen, bsteps = grad_attack(
+                data[:, None], target[:, None],
+                jnp.asarray(ws_final), keys,
+            )
+            bw = np.asarray(bw)
+            bok = np.asarray(bok)[:, 0]
+            bpen, bsteps = np.asarray(bpen), np.asarray(bsteps)
+            for i in np.nonzero(~ok_arr)[0]:
+                ws_final[i] = bw[i]
+                succ_list[i] = bool(bok[i])
+                pens[i] = float(bpen[i])
+                steps_list[i] = int(bsteps[i])
 
-        adv = np.stack(adv_list)
+        adv = np.asarray(
+            jnp.einsum("bnc,bdc->bnd", data, jnp.asarray(ws_final))
+        )
         logits_after = np.asarray(model_fn(jnp.asarray(adv)))
         probs_after = np.asarray(
             jax.nn.softmax(jnp.asarray(logits_after), axis=-1)
@@ -660,6 +675,11 @@ def cmd_attack(args):
             model_fn, args.defense, key=jax.random.PRNGKey(cfg.seed + 7),
             npoint=cfg.num_points, dup_variables=dup_variables,
         )
+        # one executable for defense head + forward: the defense ops
+        # (SOR kNN etc.) would otherwise dispatch eagerly per direct
+        # eval call (~25 ms/op on the axon tunnel); inside attack jits
+        # this wrapper just inlines
+        model_fn = jax.jit(model_fn)
 
     targeted = args.attack_method == "target"
     key = jax.random.PRNGKey(cfg.seed)
@@ -839,11 +859,26 @@ def cmd_attack(args):
             # of the same architecture both appear in the matrix.
             names = cfg.trans_model.split(",")
             ckpts = (cfg.trans_checkpoint or "").split(",")
+            if len(ckpts) > len(names) and any(c for c in ckpts[len(names):]):
+                raise SystemExit(
+                    f"--trans_checkpoint lists {len(ckpts)} entries for "
+                    f"{len(names)} --trans_model entries; pairing is "
+                    "positional, the extras would be silently dropped"
+                )
             ckpts += [""] * (len(names) - len(ckpts))
             panel = {}
             for t_name, t_ckpt in zip(names, ckpts):
                 if not t_name:
                     continue
+                if not t_ckpt:
+                    # a random-init panel member scores meaningless
+                    # transfer ASR — loud, not silent
+                    print(
+                        f"WARNING: transfer panel member {t_name!r} has "
+                        "no --trans_checkpoint slot; scoring against "
+                        "RANDOMLY INITIALIZED weights",
+                        file=sys.stderr,
+                    )
                 t_model, t_vars = _build_model(
                     dataclasses_replace_model(cfg, t_name), num_classes
                 )

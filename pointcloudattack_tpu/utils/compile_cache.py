@@ -6,6 +6,15 @@ compile of an attack shape goes through the remote-compile tunnel
 compiled executable load from disk instead: measured on this machine,
 a 76.5 s first compile replays in 2.0 s from a second process.
 
+Axon caveat (measured round 3): the cache short-circuits the CLIENT
+compile only — ``lowered.compile()`` returns in <0.1 s on a hit, but
+the tunnel defers the server-side program build/load to the FIRST
+EXECUTION of each executable, which still takes ~60-130 s per distinct
+computation per process (repeat calls ~0.2 s).  The cache is still a
+net win (it removes the client compile and all retrace work), but CLI
+wall time is dominated by one first-execute load per distinct jitted
+computation, so prefer FEWER, LARGER jitted computations per run.
+
 Enabled by default from ``cli`` and ``bench.py``; tests do not use it
 (they run tiny CPU compiles).  Controls:
 

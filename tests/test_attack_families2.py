@@ -185,6 +185,40 @@ class TestISO:
         assert (pred[lock_ok] != np.asarray(labs)[lock_ok]).all()
         assert lock_ok.sum() >= sum(seq_ok) - 1  # same budget, same grid
 
+    def test_ctri_batched_matches_sequential(self, trained_pointnet):
+        """vmapped CTRI lanes reproduce solo B=1 runs (same keys): the
+        while_loop's select-masking under vmap leaves each lane's
+        trajectory untouched up to batched-matmul rounding (~1e-7);
+        step counts and success flags match exactly."""
+        model_fn, clouds, labels = _fn(trained_pointnet)
+        cfg = iso.ISOConfig(step_size=0.05, num_steps=40, lam=0.5)
+        solo = iso.build_gradient_iso_attack(model_fn, cfg)
+        batched = iso.build_gradient_iso_attack(model_fn, cfg, batched=True)
+
+        k = 3
+        objs = jnp.asarray(clouds[:k])
+        labs = jnp.asarray(labels[:k])
+        w0 = jnp.broadcast_to(jnp.eye(3), (k, 3, 3))
+        keys = jnp.stack(
+            [jax.random.fold_in(jax.random.PRNGKey(7), i) for i in range(k)]
+        )
+
+        bw, bok, bpen, bsteps = batched(
+            objs[:, None], labs[:, None], w0, keys
+        )
+        for i in range(k):
+            sw, sok, spen, ssteps = solo(
+                objs[i : i + 1], labs[i : i + 1], w0[i], keys[i]
+            )
+            np.testing.assert_allclose(
+                np.asarray(sw), np.asarray(bw[i]), atol=1e-5
+            )
+            assert bool(np.asarray(sok).all()) == bool(
+                np.asarray(bok[i]).all()
+            )
+            np.testing.assert_allclose(float(spen), float(bpen[i]), atol=1e-5)
+            assert int(ssteps) == int(bsteps[i])
+
     def test_gradient_attack(self, trained_pointnet):
         model_fn, clouds, labels = _fn(trained_pointnet)
         cfg = iso.ISOConfig(step_size=0.05, num_steps=100, lam=0.5)

@@ -214,6 +214,25 @@ def test_attack_transfer_panel_duplicate_arch(trained_run):
     assert set(mat) == {"PointNet", "PointNet#2"}
 
 
+def test_attack_transfer_panel_extra_checkpoints_error(trained_run):
+    """More --trans_checkpoint entries than --trans_model entries would
+    be silently zip-truncated; the CLI refuses instead."""
+    import pytest
+
+    out, ckpt = trained_run
+    with pytest.raises(SystemExit, match="pairing is"):
+        main([
+            "attack", "cw", "--dataset", "synthetic",
+            "--model", "PointNet",
+            "--trans_model", "PointNet",
+            "--trans_checkpoint", f"{ckpt},{ckpt}",
+            "--num_points", "64", "--num_classes", "3",
+            "--checkpoint", ckpt, "--output_dir", out,
+            "--binary_step", "1", "--num_iter", "30", "--kappa", "0",
+            "--budget", "0.45", "--num_samples", "3", "--transfer_test",
+        ])
+
+
 def test_attack_top1_error(trained_run):
     out, ckpt = trained_run
     main([
