@@ -161,6 +161,74 @@ def bench_aof():
     }
 
 
+def bench_knn(iters: int = 2500):
+    """KNN attack (reference KNN_attack.py library default 2500 iters),
+    B=64 like the CW headline."""
+    from pointcloudattack_tpu.attacks.knn import (
+        KNNAttackConfig,
+        build_knn_attack,
+    )
+
+    clouds, labels = make_synthetic_clouds(
+        NUM_CLASSES, max(1, BATCH // NUM_CLASSES + 1), NUM_POINTS, seed=4
+    )
+    data = jnp.asarray(clouds[:BATCH])
+    target = jnp.asarray(labels[:BATCH])
+    model = models.make_model("PointNet", NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=BATCH
+    )
+    model_fn = make_model_fn(model, variables)
+    cfg = KNNAttackConfig(num_iter=iters, kappa=30.0, budget=0.18)
+    attack = build_knn_attack(model_fn, cfg)
+    dt = _time_enqueued(
+        lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
+        lambda out: out[1],
+        reps=2,
+    )
+    return {
+        "clouds_per_sec": round(BATCH / dt, 3),
+        "sec_per_batch": round(dt, 4),
+        "mfu": _mfu(
+            attack, dt, data, target, jax.random.PRNGKey(0), iters=iters
+        ),
+    }
+
+
+def bench_geoa3():
+    """GeoA3 (the reference repo's flagship attack) at its reference
+    default schedule (10 binary rounds x 500 iters), B=8."""
+    from pointcloudattack_tpu.attacks.geoa3 import (
+        GeoA3Config,
+        build_geoa3_attack,
+    )
+
+    b = 8
+    clouds, labels = make_synthetic_clouds(8, 1, NUM_POINTS, seed=5)
+    data = jnp.asarray(clouds[:b])
+    target = jnp.asarray(labels[:b])
+    model = models.make_model("PointNet", NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=b
+    )
+    model_fn = make_model_fn(model, variables)
+    cfg = GeoA3Config(binary_max_steps=10, iter_max_steps=500)
+    attack = build_geoa3_attack(model_fn, cfg)
+    dt = _time_enqueued(
+        lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
+        lambda out: out[1],
+        reps=2,
+    )
+    return {
+        "clouds_per_sec": round(b / dt, 3),
+        "sec_per_batch": round(dt, 4),
+        "mfu": _mfu(
+            attack, dt, data, target, jax.random.PRNGKey(0),
+            iters=cfg.binary_max_steps * cfg.iter_max_steps,
+        ),
+    }
+
+
 def bench_si_ifgm(normal_refresh: int = 1):
     """refresh=1 is the reference's per-step frame rebuild; refresh=5 is
     the measured 2.5x fast path (BENCH.md round 3)."""
@@ -197,6 +265,8 @@ def main():
     for name, fn in (
         ("cw_bf16", lambda: bench_cw(jnp.bfloat16)),
         ("cw_dgcnn", bench_cw_dgcnn),
+        ("knn", bench_knn),
+        ("geoa3", bench_geoa3),
         ("aof", bench_aof),
         ("si_ifgm", bench_si_ifgm),
         ("si_ifgm_r5", lambda: bench_si_ifgm(normal_refresh=5)),
