@@ -32,18 +32,14 @@ from pointcloudattack_tpu.losses.adv import (
     logits_adv_loss,
     untargeted_logits_adv_loss,
 )
-from pointcloudattack_tpu.losses.distance import (
-    chamfer_both,
-    hausdorff_dist,
-    l2_dist,
-)
+from pointcloudattack_tpu.losses.distance import chamfer_hausdorff_nn
 from pointcloudattack_tpu.losses.geometry import (
     curvature_loss,
     kappa_adv,
     kappa_ori,
+    nn1_idx,
 )
 from pointcloudattack_tpu.ops.gather import index_points
-from pointcloudattack_tpu.ops.knn import knn_points
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,10 +76,15 @@ class GeoA3Config:
 
 
 def _constraint_loss(adv, ori, normal_ori, k_ori, cfg: GeoA3Config):
-    """[B] weighted geometric constraint (GeoA3_attack.py:136-183)."""
+    """[B] weighted geometric constraint (GeoA3_attack.py:136-183).
+
+    Chamfer/Hausdorff/nearest-clean-index all come from ONE fused
+    pairwise bundle (losses/distance.py::chamfer_hausdorff_nn) instead
+    of four independent [N, N] matrices; unused pieces are DCE'd.
+    """
     total = jnp.zeros(adv.shape[0], dtype=adv.dtype)
+    a2o, o2a, hd, nn_idx = chamfer_hausdorff_nn(adv, ori)
     if cfg.dis_loss_type == "CD":
-        a2o, o2a = chamfer_both(adv, ori)
         dis = a2o if cfg.is_cd_single_side else a2o + o2a
         total = total + cfg.dis_loss_weight * dis
     elif cfg.dis_loss_type == "L2":
@@ -91,11 +92,15 @@ def _constraint_loss(adv, ori, normal_ori, k_ori, cfg: GeoA3Config):
             (adv - ori) ** 2, axis=(1, 2)
         )
     if cfg.hd_loss_weight != 0:
-        total = total + cfg.hd_loss_weight * hausdorff_dist(adv, ori)
+        total = total + cfg.hd_loss_weight * hd
     if cfg.curv_loss_weight != 0:
-        k_adv, _ = kappa_adv(adv, ori, normal_ori, cfg.curv_loss_knn)
+        # one nearest-clean-point query serves both terms (the reference
+        # runs it twice with identical results, loss_utils.py:78/:99)
+        k_adv, _ = kappa_adv(
+            adv, ori, normal_ori, cfg.curv_loss_knn, nn_idx=nn_idx
+        )
         total = total + cfg.curv_loss_weight * curvature_loss(
-            adv, ori, k_adv, k_ori
+            adv, ori, k_adv, k_ori, nn_idx=nn_idx
         )
     return total
 
@@ -106,8 +111,8 @@ def _offset_proj(offset, ori, normal_ori):
     Quirk preserved from the reference (GeoA3_attack.py:62-80): the kNN
     query runs on the OFFSET VECTORS against the clean cloud.
     """
-    _, idx = knn_points(offset, ori, k=1)
-    normal = index_points(normal_ori, idx[..., 0])  # [B, N, 3]
+    idx = nn1_idx(offset, ori)
+    normal = index_points(normal_ori, idx)  # [B, N, 3]
     nlen = jnp.linalg.norm(normal, axis=-1, keepdims=True)
     unit = normal / (nlen + 1e-6)
     return jnp.sum(offset * unit, axis=-1, keepdims=True) * unit
@@ -167,9 +172,42 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
 
                 adv = ori + offset
 
+                if cfg.use_jitter:
+                    jitter = jax.lax.cond(
+                        it % cfg.jitter_refresh_iters == 0,
+                        lambda: estimate_perpendicular_jitter(
+                            adv, cfg.jitter_k, k_it,
+                            sigma=cfg.jitter_sigma, clip=cfg.jitter_clip,
+                        ),
+                        lambda: jitter,
+                    )
+
+                def loss_fn(off):
+                    a = ori + off
+                    if cfg.use_jitter:
+                        a = a + jitter
+                    lg = model_fn(a)
+                    cons = _constraint_loss(a, ori, normal_ori, k_ori, cfg)
+                    return jnp.sum(cls_fn(lg, target) + weight * cons), (
+                        cons,
+                        lg,
+                    )
+
+                (_, (constrain, logits)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(offset)
+
                 # evaluate with the PREVIOUS iteration's constraint metric
-                # (GeoA3_attack.py:308-330 evaluates at loop top)
-                pred = jnp.argmax(model_fn(adv), axis=-1)
+                # (GeoA3_attack.py:308-330 evaluates at loop top).  The
+                # eval forward of the reference runs on the same pre-step
+                # `adv` the loss forward sees, so its logits are the loss
+                # forward's aux output — one model pass per iteration, not
+                # two — EXCEPT under jitter, where the loss forward sees
+                # adv + jitter but the evaluation must see bare adv
+                # (GeoA3_attack.py:262-268 vs :308).
+                if cfg.use_jitter:
+                    logits = model_fn(adv)
+                pred = jnp.argmax(logits, axis=-1)
                 succ = pred == target if cfg.targeted else pred != target
                 improved = succ & (prev_constrain < best_loss)
                 best_loss = jnp.where(improved, prev_constrain, best_loss)
@@ -189,27 +227,6 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                     round_improved, pred, iter_best_score
                 )
 
-                if cfg.use_jitter:
-                    jitter = jax.lax.cond(
-                        it % cfg.jitter_refresh_iters == 0,
-                        lambda: estimate_perpendicular_jitter(
-                            adv, cfg.jitter_k, k_it,
-                            sigma=cfg.jitter_sigma, clip=cfg.jitter_clip,
-                        ),
-                        lambda: jitter,
-                    )
-
-                def loss_fn(off):
-                    a = ori + off
-                    if cfg.use_jitter:
-                        a = a + jitter
-                    lg = model_fn(a)
-                    cons = _constraint_loss(a, ori, normal_ori, k_ori, cfg)
-                    return jnp.sum(cls_fn(lg, target) + weight * cons), cons
-
-                (_, constrain), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(offset)
                 updates, opt_state = opt.update(grads, opt_state, offset)
                 offset = optax.apply_updates(offset, updates)
 

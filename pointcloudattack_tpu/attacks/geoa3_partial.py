@@ -111,22 +111,6 @@ def build_geoa3_partial_attack(model_fn, cfg: GeoA3PartialConfig):
 
                 adv = base + offset * mask
 
-                # eval (optionally on an FPS subsample, :303-306)
-                if cfg.subsample_npoint and cfg.subsample_npoint < n:
-                    sub_idx = farthest_point_sample(
-                        adv, cfg.subsample_npoint, key=None
-                    )
-                    adv_eval = index_points(adv, sub_idx)
-                else:
-                    adv_eval = adv
-                pred = jnp.argmax(model_fn(adv_eval), axis=-1)
-                succ = pred == target if cfg.targeted else pred != target
-                improved = succ & (prev_cons < best_loss)
-                best_loss = jnp.where(improved, prev_cons, best_loss)
-                best_attack = jnp.where(
-                    improved[:, None, None], adv, best_attack
-                )
-
                 def loss_fn(off):
                     a = base + off * mask
                     lg = model_fn(a)
@@ -135,12 +119,28 @@ def build_geoa3_partial_attack(model_fn, cfg: GeoA3PartialConfig):
                     )
                     return (
                         jnp.sum(cls_fn(lg, target) + weight * cons),
-                        cons,
+                        (cons, lg),
                     )
 
-                (_, cons), grads = jax.value_and_grad(
+                (_, (cons, logits)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(offset)
+
+                # eval (optionally on an FPS subsample, :303-306); without
+                # the subsample the eval input equals the loss forward's,
+                # so its logits are the aux output — one pass, not two
+                if cfg.subsample_npoint and cfg.subsample_npoint < n:
+                    sub_idx = farthest_point_sample(
+                        adv, cfg.subsample_npoint, key=None
+                    )
+                    logits = model_fn(index_points(adv, sub_idx))
+                pred = jnp.argmax(logits, axis=-1)
+                succ = pred == target if cfg.targeted else pred != target
+                improved = succ & (prev_cons < best_loss)
+                best_loss = jnp.where(improved, prev_cons, best_loss)
+                best_attack = jnp.where(
+                    improved[:, None, None], adv, best_attack
+                )
                 updates, opt_state = opt.update(grads, opt_state, offset)
                 offset = optax.apply_updates(offset, updates) * mask
 

@@ -16,6 +16,7 @@ from pointcloudattack_tpu.losses.distance import (
     l2_dist,
     chamfer_both,
     chamfer_dist,
+    chamfer_hausdorff_nn,
     hausdorff_both,
     hausdorff_dist,
     knn_outlier_dist,
@@ -30,6 +31,7 @@ from pointcloudattack_tpu.losses.geometry import (
     knn_smoothing_loss,
     kappa_ori,
     kappa_adv,
+    nn1_idx,
 )
 
 __all__ = [
@@ -40,6 +42,7 @@ __all__ = [
     "l2_dist",
     "chamfer_both",
     "chamfer_dist",
+    "chamfer_hausdorff_nn",
     "hausdorff_both",
     "hausdorff_dist",
     "knn_outlier_dist",
@@ -52,4 +55,5 @@ __all__ = [
     "knn_smoothing_loss",
     "kappa_ori",
     "kappa_adv",
+    "nn1_idx",
 ]

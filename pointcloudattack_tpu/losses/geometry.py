@@ -17,14 +17,48 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pointcloudattack_tpu.ops.gather import index_points
-from pointcloudattack_tpu.ops.knn import knn_points
+from pointcloudattack_tpu.ops.gather import index_points, index_points_mm_bwd
+from pointcloudattack_tpu.ops.knn import knn, knn_points
+from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
 
 
 def _neighbour_offsets(pc: jax.Array, nbrs: jax.Array, idx: jax.Array):
-    """[B, N, k, 3] offsets from each point to its k neighbours."""
-    gathered = index_points(nbrs, idx)
+    """[B, N, k, 3] offsets from each point to its k neighbours.
+
+    The gather runs per GeoA3 iteration under grad; the scatter-free
+    backward (ops/gather.py::index_points_mm_bwd) replaces XLA's
+    scatter-add, the measured cost center of the curvature term.
+    """
+    gathered = index_points_mm_bwd(nbrs, idx)
     return gathered - pc[:, :, None, :]
+
+
+def _self_knn_idx(pc: jax.Array, k: int) -> jax.Array:
+    """Self-kNN indices excluding self, [B, N, k].
+
+    Routed through ``ops.knn.knn`` so the fused Pallas kernel serves it
+    on TPU (the curvature losses consume only the INDEX SETS, and every
+    aggregation over neighbours here is a mean — order-invariant), where
+    ``knn_points``'s [B, N, N] ``lax.top_k`` dominated the GeoA3
+    iteration (BENCH.md GeoA3 loss-kNN entry).  Index sets are identical
+    to the top_k path (ops/pallas/knn_kernel.py); on CPU the dispatch
+    falls back to the same top_k.
+    """
+    return knn(pc, k + 1)[..., 1:]
+
+
+def nn1_idx(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Index of each x point's nearest y point, [B, N].
+
+    ``argmin`` over the pairwise matrix instead of ``top_k(k=1)``; ties
+    break to the first occurrence in both.  Indices carry no tangent, so
+    the inputs are gradient-stopped (the VJP of the whole [B, N, N]
+    product would otherwise be materialized for nothing).
+    """
+    d = pairwise_sqdist(
+        jax.lax.stop_gradient(x), jax.lax.stop_gradient(y)
+    )
+    return jnp.argmin(d, axis=-1)
 
 
 def kappa_ori(pc: jax.Array, normal: jax.Array, k: int = 2) -> jax.Array:
@@ -33,7 +67,7 @@ def kappa_ori(pc: jax.Array, normal: jax.Array, k: int = 2) -> jax.Array:
     Reference attack/GeoA3/loss_utils.py:60-70 (kNN over self, excluding
     self, normalized offsets projected on the normal).
     """
-    _, idx = knn_points(pc, pc, k=k, exclude_self=True)
+    idx = _self_knn_idx(pc, k)
     vec = _neighbour_offsets(pc, pc, idx)  # [B, N, k, 3]
     vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
     return jnp.mean(
@@ -42,18 +76,27 @@ def kappa_ori(pc: jax.Array, normal: jax.Array, k: int = 2) -> jax.Array:
 
 
 def kappa_adv(
-    adv: jax.Array, ori: jax.Array, ori_normal: jax.Array, k: int = 2
+    adv: jax.Array,
+    ori: jax.Array,
+    ori_normal: jax.Array,
+    k: int = 2,
+    nn_idx: jax.Array | None = None,
 ):
     """Curvature proxy of the adversarial cloud + its projected normals.
 
     Each adv point borrows the normal of its nearest clean point
-    (reference attack/GeoA3/loss_utils.py:72-90).
+    (reference attack/GeoA3/loss_utils.py:72-90).  ``nn_idx`` [B, N]
+    optionally supplies that nearest-clean-point index so callers that
+    also need it for :func:`curvature_loss` run the query once per
+    iteration instead of twice (the reference recomputes it,
+    loss_utils.py:78 and :99 — identical indices, so sharing is exact).
 
     Returns (kappa [B, N], normal [B, N, 3]).
     """
-    _, nn_idx = knn_points(adv, ori, k=1)
-    normal = index_points(ori_normal, nn_idx[..., 0])  # [B, N, 3]
-    _, idx = knn_points(adv, adv, k=k, exclude_self=True)
+    if nn_idx is None:
+        nn_idx = nn1_idx(adv, ori)
+    normal = index_points(ori_normal, nn_idx)  # [B, N, 3]
+    idx = _self_knn_idx(adv, k)
     vec = _neighbour_offsets(adv, adv, idx)
     vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
     kappa = jnp.mean(
@@ -67,13 +110,16 @@ def curvature_loss(
     ori: jax.Array,
     adv_kappa: jax.Array,
     ori_kappa: jax.Array,
+    nn_idx: jax.Array | None = None,
 ) -> jax.Array:
     """Mean squared curvature mismatch, adv point vs nearest clean point, [B].
 
-    Reference attack/GeoA3/loss_utils.py:92-105.
+    Reference attack/GeoA3/loss_utils.py:92-105.  ``nn_idx`` [B, N] as in
+    :func:`kappa_adv` (same query, shareable).
     """
-    _, nn_idx = knn_points(adv, ori, k=1)
-    matched = jnp.take_along_axis(ori_kappa, nn_idx[..., 0], axis=1)
+    if nn_idx is None:
+        nn_idx = nn1_idx(adv, ori)
+    matched = jnp.take_along_axis(ori_kappa, nn_idx, axis=1)
     return jnp.mean((adv_kappa - matched) ** 2, axis=-1)
 
 
@@ -87,7 +133,7 @@ def displacement_loss(
     between its theta and its clean-cloud neighbours' thetas. Shape [B, N]
     like the reference (it returns the per-point map, not a batch scalar).
     """
-    _, idx = knn_points(ori, ori, k=k, exclude_self=True)
+    idx = _self_knn_idx(ori, k)
     theta = jnp.sum((adv - ori) ** 2, axis=-1)  # [B, N]
     nbr_theta = jnp.take_along_axis(
         theta, idx.reshape(theta.shape[0], -1), axis=1

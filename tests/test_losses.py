@@ -80,6 +80,37 @@ class TestDistances:
             np.asarray(o2a), d.min(axis=1).max(axis=1), atol=1e-5
         )
 
+    def test_chamfer_hausdorff_nn_bundle(self):
+        """Fused bundle == separate chamfer/hausdorff/argmin, incl. grads."""
+        adv, ori, a, o = pair()
+        a2o, o2a, hd, nn_idx = losses.chamfer_hausdorff_nn(adv, ori)
+        ca2o, co2a = losses.chamfer_both(adv, ori)
+        np.testing.assert_allclose(np.asarray(a2o), np.asarray(ca2o), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o2a), np.asarray(co2a), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(hd),
+            np.asarray(losses.hausdorff_dist(adv, ori)),
+            atol=1e-6,
+        )
+        d = np.sum((a[:, :, None] - o[:, None]) ** 2, axis=-1)
+        np.testing.assert_array_equal(np.asarray(nn_idx), d.argmin(axis=2))
+
+        def fused(x):
+            f_a2o, f_o2a, f_hd, _ = losses.chamfer_hausdorff_nn(x, ori)
+            return jnp.sum(f_a2o + f_o2a + 0.1 * f_hd)
+
+        def separate(x):
+            s_a2o, s_o2a = losses.chamfer_both(x, ori)
+            return jnp.sum(
+                s_a2o + s_o2a + 0.1 * losses.hausdorff_dist(x, ori)
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(fused)(adv)),
+            np.asarray(jax.grad(separate)(adv)),
+            atol=1e-6,
+        )
+
     def test_knn_outlier_oracle(self):
         a = RNG.randn(2, 48, 3).astype(np.float32)
         k, alpha = 5, 1.05
