@@ -27,7 +27,13 @@ def l2_dist(adv: jax.Array, ori: jax.Array) -> jax.Array:
 
 # Beyond this many pairwise entries the dense [N, M] matrix stops being
 # fusion-friendly; route through the tiled Pallas kernel on TPU.
-_FUSED_KERNEL_THRESHOLD = 4096 * 4096
+# Round 3 lowered this from 4096^2: at [32, 1024, 1024] the kernel's
+# O(N+M)-HBM custom VJP beats the dense min's backward 1.6x (0.61 vs
+# 0.97 ms fwd+bwd, grads within 3e-10) — chamfer in attack loops is
+# always differentiated.  Below ~1024^2 the dense matrix lives in one
+# XLA fusion and stays ahead.
+_FUSED_KERNEL_THRESHOLD = 1024 * 1024
+_BUNDLE_KERNEL_THRESHOLD = 4096 * 4096
 
 
 def _min_rows(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -69,7 +75,11 @@ def chamfer_hausdorff_nn(adv: jax.Array, ori: jax.Array):
     matrix); unused outputs are DCE'd under jit, so callers take the
     bundle unconditionally.
     """
-    if adv.shape[-2] * ori.shape[-2] >= _FUSED_KERNEL_THRESHOLD:
+    # the bundle amortizes ONE dense matrix across three outputs, so the
+    # dense path stays ahead longer than single-output _min_rows (two
+    # kernel launches lose to it at 1024^2: 0.45 vs 0.35 ms fwd+bwd,
+    # B=8 v5e); only at clearly HBM-bound sizes do the kernels win
+    if adv.shape[-2] * ori.shape[-2] >= _BUNDLE_KERNEL_THRESHOLD:
         from pointcloudattack_tpu.ops.pallas.chamfer_kernel import (
             min_sqdist_rows,
         )

@@ -16,7 +16,11 @@ Reference parity targets (behavior, not code):
 """
 
 from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist, self_sqdist
-from pointcloudattack_tpu.ops.gather import index_points, knn_gather
+from pointcloudattack_tpu.ops.gather import (
+    index_points,
+    index_points_mm_bwd,
+    knn_gather,
+)
 from pointcloudattack_tpu.ops.knn import knn, knn_points
 from pointcloudattack_tpu.ops.fps import farthest_point_sample
 from pointcloudattack_tpu.ops.ball_query import query_ball_point
@@ -30,6 +34,7 @@ __all__ = [
     "pairwise_sqdist",
     "self_sqdist",
     "index_points",
+    "index_points_mm_bwd",
     "knn_gather",
     "knn",
     "knn_points",

@@ -49,6 +49,43 @@ class TestGather:
         expect = np.stack([x[b][idx[b]] for b in range(2)])
         np.testing.assert_array_equal(out, expect)
 
+    def test_index_points_mm_bwd_matches(self):
+        """Scatter-free-backward gather: fwd bitwise, grads vs scatter.
+
+        Duplicate indices (randint WILL repeat over 64 with 40 draws)
+        exercise the summed-cotangent path the one-hot matmul replaces.
+        """
+        x, _ = clouds()
+        xj = jnp.asarray(x)
+        for shape in [(2, 40), (2, 10, 4)]:
+            idx = jnp.asarray(RNG.randint(0, 64, size=shape))
+            a = ops.index_points(xj, idx)
+            b = ops.index_points_mm_bwd(xj, idx)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+            def f_ref(p, i=idx):
+                return jnp.sum(jnp.sin(ops.index_points(p, i)) ** 2)
+
+            def f_mm(p, i=idx):
+                return jnp.sum(jnp.sin(ops.index_points_mm_bwd(p, i)) ** 2)
+
+            g_ref = np.asarray(jax.jit(jax.grad(f_ref))(xj))
+            g_mm = np.asarray(jax.jit(jax.grad(f_mm))(xj))
+            np.testing.assert_allclose(g_mm, g_ref, atol=1e-6)
+
+    def test_index_points_mm_bwd_bf16_cotangent_dtype(self):
+        """bf16 inputs must get bf16 cotangents (ADVICE round-2 class)."""
+        x, _ = clouds()
+        xb = jnp.asarray(x).astype(jnp.bfloat16)
+        idx = jnp.asarray(RNG.randint(0, 64, size=(2, 10, 4)))
+
+        def f(p):
+            g = ops.index_points_mm_bwd(p, idx).astype(jnp.float32)
+            return jnp.sum(g * g)
+
+        grad = jax.grad(f)(xb)
+        assert grad.dtype == jnp.bfloat16
+
 
 class TestKnn:
     def test_self_knn_includes_self(self):
