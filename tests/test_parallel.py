@@ -60,6 +60,34 @@ def test_sharded_attack_matches_single_device(trained_pointnet):
     )
 
 
+def test_sharded_geoa3_matches_single_device(trained_pointnet):
+    """GeoA3's loss stack (fused bundle + Pallas-routed kNN + mm-bwd
+    gather) must stay batch-parallel: sharding the batch over the mesh
+    cannot change any per-example result."""
+    from pointcloudattack_tpu.attacks.geoa3 import (
+        GeoA3Config,
+        build_geoa3_attack,
+    )
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = GeoA3Config(binary_max_steps=1, iter_max_steps=15)
+    attack = build_geoa3_attack(model_fn, cfg)
+
+    data = clouds[:8].astype(np.float32)
+    target = labels[:8].astype(np.int64)
+    key = jax.random.PRNGKey(5)
+
+    adv_s, loss_s, succ_s = attack(jnp.asarray(data), jnp.asarray(target), key)
+    adv_m, loss_m, succ_m = run_sharded_attack(attack, data, target, key)
+
+    np.testing.assert_allclose(np.asarray(adv_s), adv_m, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(loss_s), loss_m, rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(succ_s), succ_m)
+
+
 def test_sharded_attack_pads_odd_batch(trained_pointnet):
     model, variables, clouds, labels = trained_pointnet
     model_fn = make_model_fn(model, variables)
