@@ -111,6 +111,53 @@ class TestDistances:
             atol=1e-6,
         )
 
+    def test_chamfer_hausdorff_nn_kernel_branch(self, monkeypatch):
+        """Both dispatch branches of the bundle agree (values + grads).
+
+        On CPU the kernel branch falls back to the XLA row-min path of
+        ops/pallas/chamfer_kernel.py — still a different program than
+        the inline dense matrix, so this pins the branch equivalence
+        the TPU dispatch relies on.
+        """
+        from pointcloudattack_tpu.losses import distance as dist_mod
+
+        adv, ori, _, _ = pair(b=2, n=40)
+
+        def bundle_sum(x):
+            a2o, o2a, hd, _ = dist_mod.chamfer_hausdorff_nn(x, ori)
+            return jnp.sum(a2o + o2a + 0.1 * hd)
+
+        v_dense = np.asarray(bundle_sum(adv))
+        g_dense = np.asarray(jax.grad(bundle_sum)(adv))
+        idx_dense = np.asarray(dist_mod.chamfer_hausdorff_nn(adv, ori)[3])
+
+        monkeypatch.setattr(dist_mod, "_BUNDLE_KERNEL_THRESHOLD", 1)
+        v_kern = np.asarray(bundle_sum(adv))
+        g_kern = np.asarray(jax.grad(bundle_sum)(adv))
+        idx_kern = np.asarray(dist_mod.chamfer_hausdorff_nn(adv, ori)[3])
+
+        np.testing.assert_allclose(v_kern, v_dense, rtol=1e-6)
+        np.testing.assert_allclose(g_kern, g_dense, atol=1e-6)
+        np.testing.assert_array_equal(idx_kern, idx_dense)
+
+    def test_min_rows_kernel_branch(self, monkeypatch):
+        """chamfer/hausdorff dispatch branches agree (values + grads)."""
+        from pointcloudattack_tpu.losses import distance as dist_mod
+
+        adv, ori, _, _ = pair(b=2, n=40)
+
+        def loss(x):
+            a2o, o2a = dist_mod.chamfer_both(x, ori)
+            return jnp.sum(a2o + o2a + dist_mod.hausdorff_dist(x, ori))
+
+        v_dense = np.asarray(loss(adv))
+        g_dense = np.asarray(jax.grad(loss)(adv))
+        monkeypatch.setattr(dist_mod, "_FUSED_KERNEL_THRESHOLD", 1)
+        np.testing.assert_allclose(np.asarray(loss(adv)), v_dense, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss)(adv)), g_dense, atol=1e-6
+        )
+
     def test_knn_outlier_oracle(self):
         a = RNG.randn(2, 48, 3).astype(np.float32)
         k, alpha = 5, 1.05
