@@ -38,6 +38,7 @@ from pointcloudattack_tpu.losses.geometry import (
     kappa_adv,
     kappa_ori,
     nn1_idx,
+    self_knn_idx,
 )
 from pointcloudattack_tpu.ops.gather import index_points
 
@@ -58,6 +59,13 @@ class GeoA3Config:
     curv_loss_knn: int = 16
     targeted: bool = False
     normal_k: int = 3
+    # recompute the adv self-kNN of the curvature term every R iterations
+    # instead of every iteration (reference loss_utils.py:83 semantics at
+    # the default 1).  The curvature loss consumes only the INDEX SETS
+    # and Adam(0.01) moves points slowly, so a cached set goes marginally
+    # stale; ASR parity at R=4 is pinned by tests/test_attack_families.py
+    # ::test_geoa3_curv_knn_refresh_asr_parity, throughput in BENCH.md.
+    curv_knn_refresh: int = 1
     # optional extras (all default-off like the reference CLI)
     use_lr_scheduler: bool = False
     lr_gamma: float = 0.999
@@ -75,12 +83,16 @@ class GeoA3Config:
     unroll_rounds: bool = False
 
 
-def _constraint_loss(adv, ori, normal_ori, k_ori, cfg: GeoA3Config):
+def _constraint_loss(
+    adv, ori, normal_ori, k_ori, cfg: GeoA3Config, self_idx=None
+):
     """[B] weighted geometric constraint (GeoA3_attack.py:136-183).
 
     Chamfer/Hausdorff/nearest-clean-index all come from ONE fused
     pairwise bundle (losses/distance.py::chamfer_hausdorff_nn) instead
     of four independent [N, N] matrices; unused pieces are DCE'd.
+    ``self_idx`` optionally supplies a cached adv self-kNN index set for
+    the curvature term (see ``GeoA3Config.curv_knn_refresh``).
     """
     total = jnp.zeros(adv.shape[0], dtype=adv.dtype)
     a2o, o2a, hd, nn_idx = chamfer_hausdorff_nn(adv, ori)
@@ -97,7 +109,8 @@ def _constraint_loss(adv, ori, normal_ori, k_ori, cfg: GeoA3Config):
         # one nearest-clean-point query serves both terms (the reference
         # runs it twice with identical results, loss_utils.py:78/:99)
         k_adv, _ = kappa_adv(
-            adv, ori, normal_ori, cfg.curv_loss_knn, nn_idx=nn_idx
+            adv, ori, normal_ori, cfg.curv_loss_knn, nn_idx=nn_idx,
+            self_idx=self_idx,
         )
         total = total + cfg.curv_loss_weight * curvature_loss(
             adv, ori, k_adv, k_ori, nn_idx=nn_idx
@@ -127,6 +140,15 @@ def _lp_clip(offset, cc_linf):
 
 def build_geoa3_attack(model_fn, cfg: GeoA3Config):
     """Compiled (data, target, key) -> (adv, best_loss, success)."""
+    if cfg.curv_knn_refresh < 1:
+        raise ValueError(
+            f"curv_knn_refresh must be >= 1, got {cfg.curv_knn_refresh} "
+            "(1 = reference per-iteration recompute)"
+        )
+    # cache the curvature self-kNN in the scan carry only when it pays:
+    # at the default refresh=1 the loss recomputes it inline (reference
+    # loss_utils.py:83 semantics, bit-identical to round-2 behavior)
+    cache_knn = cfg.curv_loss_weight != 0 and cfg.curv_knn_refresh > 1
     if cfg.cls_loss_type == "Margin":
         if cfg.targeted:
             cls_fn = lambda lg, t: logits_adv_loss(lg, t, cfg.confidence)
@@ -164,13 +186,27 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
             """Iteration body with the round's constraint weight baked in."""
 
             def iter_step(carry, inputs):
-                offset, opt_state, prev_constrain, best, jitter = carry
+                offset, opt_state, prev_constrain, best, jitter, curv_idx = (
+                    carry
+                )
                 it, k_it = inputs
                 best_loss, best_attack, iter_best_loss, iter_best_score = (
                     best
                 )
 
                 adv = ori + offset
+
+                if cache_knn:
+                    # the refresh iteration sees the same pre-step adv the
+                    # loss forward sees, so refresh=1 via this path would
+                    # match the inline recompute exactly (under jitter the
+                    # inline path runs on adv + jitter instead — cached
+                    # indices stay jitter-free by design)
+                    curv_idx = jax.lax.cond(
+                        it % cfg.curv_knn_refresh == 0,
+                        lambda: self_knn_idx(adv, cfg.curv_loss_knn),
+                        lambda: curv_idx,
+                    )
 
                 if cfg.use_jitter:
                     jitter = jax.lax.cond(
@@ -187,7 +223,10 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                     if cfg.use_jitter:
                         a = a + jitter
                     lg = model_fn(a)
-                    cons = _constraint_loss(a, ori, normal_ori, k_ori, cfg)
+                    cons = _constraint_loss(
+                        a, ori, normal_ori, k_ori, cfg,
+                        self_idx=curv_idx if cache_knn else None,
+                    )
                     return jnp.sum(cls_fn(lg, target) + weight * cons), (
                         cons,
                         lg,
@@ -242,7 +281,9 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                 best = (
                     best_loss, best_attack, iter_best_loss, iter_best_score
                 )
-                return (offset, opt_state, constrain, best, jitter), None
+                return (
+                    offset, opt_state, constrain, best, jitter, curv_idx
+                ), None
 
             return iter_step
 
@@ -258,7 +299,9 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
             jit_keys = jax.random.split(k_jit, cfg.iter_max_steps)
             its = jnp.arange(cfg.iter_max_steps)
 
-            (offset, _, _, best, _), _ = jax.lax.scan(
+            # iteration 0 always refreshes, so the int32 init is never read
+            curv_idx0 = jnp.zeros((b, n, cfg.curv_loss_knn), dtype=jnp.int32)
+            (offset, _, _, best, _, _), _ = jax.lax.scan(
                 make_iter_step(const),
                 (
                     offset0,
@@ -266,6 +309,7 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                     jnp.full((b,), 1e10, dtype=jnp.float32),
                     best0,
                     jnp.zeros_like(ori),
+                    curv_idx0,
                 ),
                 (its, jit_keys),
             )

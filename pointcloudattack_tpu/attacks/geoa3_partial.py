@@ -46,6 +46,11 @@ def build_geoa3_partial_attack(model_fn, cfg: GeoA3PartialConfig):
     """Compiled (data, target, key) -> (adv, best_loss, success)."""
     if cfg.cls_loss_type != "CE":
         raise NotImplementedError("partial mode ships with CE loss only")
+    if cfg.curv_knn_refresh != 1:
+        raise NotImplementedError(
+            "curv_knn_refresh caching is a full-variable fast path; the "
+            "partial loop recomputes the curvature self-kNN per iteration"
+        )
     cls_fn = (
         cross_entropy_adv_loss
         if cfg.targeted

@@ -355,7 +355,7 @@ def _run_family(
         acfg = KNNAttackConfig(
             attack_lr=args.attack_lr, num_iter=args.num_iter or 2500,
             kappa=args.kappa, budget=args.budget, targeted=targeted,
-            adv_func=args.adv_func,
+            adv_func=args.adv_func, nn_refresh=args.nn_refresh,
         )
         adv, success = build_knn_attack(model_fn, acfg)(data, target, key)
     elif family == "geoa3":
@@ -378,6 +378,7 @@ def _run_family(
             hd_loss_weight=args.hd_loss_weight,
             curv_loss_weight=args.curv_loss_weight,
             curv_loss_knn=args.curv_loss_knn,
+            curv_knn_refresh=args.curv_knn_refresh,
             initial_const=args.initial_const,
             use_lr_scheduler=bool(args.use_lr_scheduler),
             use_jitter=bool(args.use_jitter),
@@ -1096,6 +1097,12 @@ def build_parser():
     p.add_argument("--hd_loss_weight", type=float, default=0.1)
     p.add_argument("--curv_loss_weight", type=float, default=1.0)
     p.add_argument("--curv_loss_knn", type=int, default=16)
+    p.add_argument("--curv_knn_refresh", type=int, default=1,
+                   help="recompute the curvature self-kNN every R iters "
+                        "(1 = reference per-iteration semantics)")
+    p.add_argument("--nn_refresh", type=int, default=1,
+                   help="knn family: refresh the Chamfer nearest-point "
+                        "index every R iters (1 = reference semantics)")
     p.add_argument("--initial_const", type=float, default=10.0)
     p.add_argument("--use_lr_scheduler", type=int, default=0)
     p.add_argument("--use_jitter", type=int, default=0,

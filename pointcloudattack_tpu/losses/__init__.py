@@ -32,6 +32,7 @@ from pointcloudattack_tpu.losses.geometry import (
     kappa_ori,
     kappa_adv,
     nn1_idx,
+    self_knn_idx,
 )
 
 __all__ = [
@@ -56,4 +57,5 @@ __all__ = [
     "kappa_ori",
     "kappa_adv",
     "nn1_idx",
+    "self_knn_idx",
 ]

@@ -33,7 +33,7 @@ def _neighbour_offsets(pc: jax.Array, nbrs: jax.Array, idx: jax.Array):
     return gathered - pc[:, :, None, :]
 
 
-def _self_knn_idx(pc: jax.Array, k: int) -> jax.Array:
+def self_knn_idx(pc: jax.Array, k: int) -> jax.Array:
     """Self-kNN indices excluding self, [B, N, k].
 
     Routed through ``ops.knn.knn`` so the fused Pallas kernel serves it
@@ -67,7 +67,7 @@ def kappa_ori(pc: jax.Array, normal: jax.Array, k: int = 2) -> jax.Array:
     Reference attack/GeoA3/loss_utils.py:60-70 (kNN over self, excluding
     self, normalized offsets projected on the normal).
     """
-    idx = _self_knn_idx(pc, k)
+    idx = self_knn_idx(pc, k)
     vec = _neighbour_offsets(pc, pc, idx)  # [B, N, k, 3]
     vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
     return jnp.mean(
@@ -81,6 +81,7 @@ def kappa_adv(
     ori_normal: jax.Array,
     k: int = 2,
     nn_idx: jax.Array | None = None,
+    self_idx: jax.Array | None = None,
 ):
     """Curvature proxy of the adversarial cloud + its projected normals.
 
@@ -90,13 +91,18 @@ def kappa_adv(
     also need it for :func:`curvature_loss` run the query once per
     iteration instead of twice (the reference recomputes it,
     loss_utils.py:78 and :99 — identical indices, so sharing is exact).
+    ``self_idx`` [B, N, k] optionally supplies the adv self-kNN index
+    set (loss_utils.py:83 recomputes it every call); attack loops that
+    refresh it every R iterations pass a cached set (indices carry no
+    tangent, so caching changes WHICH neighbours average — not the
+    gradient path through them).
 
     Returns (kappa [B, N], normal [B, N, 3]).
     """
     if nn_idx is None:
         nn_idx = nn1_idx(adv, ori)
     normal = index_points(ori_normal, nn_idx)  # [B, N, 3]
-    idx = _self_knn_idx(adv, k)
+    idx = self_knn_idx(adv, k) if self_idx is None else self_idx
     vec = _neighbour_offsets(adv, adv, idx)
     vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
     kappa = jnp.mean(
@@ -133,7 +139,7 @@ def displacement_loss(
     between its theta and its clean-cloud neighbours' thetas. Shape [B, N]
     like the reference (it returns the per-point map, not a batch scalar).
     """
-    idx = _self_knn_idx(ori, k)
+    idx = self_knn_idx(ori, k)
     theta = jnp.sum((adv - ori) ** 2, axis=-1)  # [B, N]
     nbr_theta = jnp.take_along_axis(
         theta, idx.reshape(theta.shape[0], -1), axis=1

@@ -26,6 +26,27 @@ def test_knn_attack_succeeds(trained_pointnet):
     assert norms.max() <= 0.45 + 1e-4
 
 
+def test_knn_nn_refresh_asr_parity(trained_pointnet):
+    """nn_refresh=5 (cache the Chamfer nearest-clean-point match for 5
+    iterations) keeps ASR and the per-point budget vs the reference's
+    per-iteration pairwise recompute; throughput in BENCH.md."""
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    data = jnp.asarray(clouds[:6])
+    target = jnp.asarray(labels[:6])
+    key = jax.random.PRNGKey(0)
+
+    base = KNNAttackConfig(num_iter=150, kappa=0.0, budget=0.45)
+    _, succ_r = build_knn_attack(model_fn, base)(data, target, key)
+    import dataclasses
+
+    fast = dataclasses.replace(base, nn_refresh=5)
+    adv_f, succ_f = build_knn_attack(model_fn, fast)(data, target, key)
+    assert np.asarray(succ_f).mean() >= np.asarray(succ_r).mean() - 0.2
+    norms = np.sqrt(((np.asarray(adv_f) - clouds[:6]) ** 2).sum(-1))
+    assert norms.max() <= 0.45 + 1e-4
+
+
 def test_aof_attack_succeeds(trained_pointnet):
     model, variables, clouds, labels = trained_pointnet
     model_fn = make_model_fn(model, variables)
@@ -152,6 +173,42 @@ def test_geoa3_scan_matches_unroll(trained_pointnet):
     )
     np.testing.assert_array_equal(np.asarray(adv_s), np.asarray(adv_u))
     np.testing.assert_array_equal(np.asarray(loss_s), np.asarray(loss_u))
+
+
+def test_geoa3_curv_knn_refresh_asr_parity(trained_pointnet):
+    """curv_knn_refresh=4 (cache the curvature self-kNN index set for 4
+    iterations) keeps ASR and a comparable best constraint loss vs the
+    reference's per-iteration recompute; the throughput win is measured
+    in BENCH.md."""
+    import dataclasses
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    data = jnp.asarray(clouds[:4])
+    target = jnp.asarray(labels[:4])
+    key = jax.random.PRNGKey(3)
+
+    base = GeoA3Config(
+        binary_max_steps=2,
+        iter_max_steps=100,
+        initial_const=1.0,
+        curv_loss_knn=8,
+        normal_k=4,
+    )
+    adv_r, loss_r, succ_r = build_geoa3_attack(model_fn, base)(
+        data, target, key
+    )
+    fast = dataclasses.replace(base, curv_knn_refresh=4)
+    adv_f, loss_f, succ_f = build_geoa3_attack(model_fn, fast)(
+        data, target, key
+    )
+    assert np.asarray(succ_f).mean() >= np.asarray(succ_r).mean() - 0.25
+    assert np.all(np.isfinite(np.asarray(adv_f)))
+    # the cached-index attack should find comparably imperceptible clouds
+    ok = np.asarray(succ_r) & np.asarray(succ_f)
+    if ok.any():
+        lr_, lf_ = np.asarray(loss_r)[ok], np.asarray(loss_f)[ok]
+        assert lf_.mean() <= lr_.mean() * 2.0 + 1e-3
 
 
 def test_aof_fast_spectral_matches_dense(trained_pointnet):
