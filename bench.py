@@ -161,9 +161,11 @@ def bench_aof():
     }
 
 
-def bench_knn(iters: int = 2500):
+def bench_knn(iters: int = 2500, nn_refresh: int = 1):
     """KNN attack (reference KNN_attack.py library default 2500 iters),
-    B=64 like the CW headline."""
+    B=64 like the CW headline.  nn_refresh=5 is the cached
+    nearest-point fast path (ASR parity pinned in
+    tests/test_attack_families.py)."""
     from pointcloudattack_tpu.attacks.knn import (
         KNNAttackConfig,
         build_knn_attack,
@@ -179,7 +181,9 @@ def bench_knn(iters: int = 2500):
         model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=BATCH
     )
     model_fn = make_model_fn(model, variables)
-    cfg = KNNAttackConfig(num_iter=iters, kappa=30.0, budget=0.18)
+    cfg = KNNAttackConfig(
+        num_iter=iters, kappa=30.0, budget=0.18, nn_refresh=nn_refresh
+    )
     attack = build_knn_attack(model_fn, cfg)
     dt = _time_enqueued(
         lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
@@ -195,9 +199,11 @@ def bench_knn(iters: int = 2500):
     }
 
 
-def bench_geoa3():
+def bench_geoa3(curv_knn_refresh: int = 1):
     """GeoA3 (the reference repo's flagship attack) at its reference
-    default schedule (10 binary rounds x 500 iters), B=8."""
+    default schedule (10 binary rounds x 500 iters), B=8.
+    curv_knn_refresh=4 is the cached curvature self-kNN fast path (ASR
+    parity pinned in tests/test_attack_families.py)."""
     from pointcloudattack_tpu.attacks.geoa3 import (
         GeoA3Config,
         build_geoa3_attack,
@@ -212,7 +218,10 @@ def bench_geoa3():
         model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=b
     )
     model_fn = make_model_fn(model, variables)
-    cfg = GeoA3Config(binary_max_steps=10, iter_max_steps=500)
+    cfg = GeoA3Config(
+        binary_max_steps=10, iter_max_steps=500,
+        curv_knn_refresh=curv_knn_refresh,
+    )
     attack = build_geoa3_attack(model_fn, cfg)
     dt = _time_enqueued(
         lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
@@ -266,7 +275,9 @@ def main():
         ("cw_bf16", lambda: bench_cw(jnp.bfloat16)),
         ("cw_dgcnn", bench_cw_dgcnn),
         ("knn", bench_knn),
+        ("knn_r5", lambda: bench_knn(nn_refresh=5)),
         ("geoa3", bench_geoa3),
+        ("geoa3_r4", lambda: bench_geoa3(curv_knn_refresh=4)),
         ("aof", bench_aof),
         ("si_ifgm", bench_si_ifgm),
         ("si_ifgm_r5", lambda: bench_si_ifgm(normal_refresh=5)),
