@@ -1142,12 +1142,19 @@ def build_parser():
 
 
 def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        # Must run before the JAX backend initializes; env-var pinning
+        # (JAX_PLATFORMS) is unreliable on hosts whose sitecustomize
+        # overrides it, so use jax.config like tests/conftest.py does.
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from pointcloudattack_tpu.utils.compile_cache import (
         enable_persistent_cache,
     )
 
     enable_persistent_cache()
-    args = build_parser().parse_args(argv)
     if getattr(args, "debug_nans", False):
         from pointcloudattack_tpu.utils.logging import enable_debug_nans
 

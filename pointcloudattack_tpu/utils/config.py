@@ -56,6 +56,13 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--gather_mode", default=d.gather_mode,
                         help="DGCNN neighbour gather: auto (tri on TPU, exact elsewhere) | exact | tri | hilo | bf16")
     parser.add_argument("--feature_transform", action="store_true")
+    parser.add_argument("--platform", default=None,
+                        choices=["cpu", "tpu", "gpu"],
+                        help="pin the JAX backend (jax.config "
+                             "jax_platforms) before first use; needed "
+                             "because some hosts override JAX_PLATFORMS "
+                             "via sitecustomize (CLAUDE.md gotchas). "
+                             "Default: JAX's own platform selection")
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax_debug_nans — the moral "
                              "equivalent of the reference's dist-matrix "

@@ -472,3 +472,18 @@ def test_view_cli(tmp_path):
     frame = str(tmp_path / "f.ppm")
     main(["view", cloud, "--cmds", "nsq", "--out", frame, "--size", "128"])
     assert os.path.exists(frame)
+
+
+def test_platform_flag(trained_run):
+    """--platform pins jax_platforms before backend init (no-op here:
+    conftest already pinned cpu, so passing cpu must work and anything
+    else is rejected at parse time)."""
+    out, ckpt = trained_run
+    acc = main([
+        "test", "--platform", "cpu", "--dataset", "synthetic",
+        "--model", "PointNet", "--num_points", "64",
+        "--num_classes", "3", "--checkpoint", ckpt, "--output_dir", out,
+    ])
+    assert acc == 1.0
+    with pytest.raises(SystemExit):
+        main(["test", "--platform", "mps"])
