@@ -91,10 +91,19 @@ def knn_pallas(
         rows_per_block = 512
         while rows_per_block > 8 and n % rows_per_block:
             rows_per_block //= 2
-    if n % rows_per_block:
-        rows_per_block = n  # degenerate fallback: one block per cloud
-    grid = (b, n // rows_per_block)
-    return pl.pallas_call(
+    rows = x
+    pad = (-n) % rows_per_block
+    if pad:
+        # Indivisible N (e.g. the reference's rand_row faces at odd
+        # sizes): pad the ROW operand only — padded rows compute junk
+        # neighbours that are sliced off below; the candidate set stays
+        # the true N, so real rows are unaffected.  Never fall back to
+        # a single [N, N] block: at N=4095 that is a 67 MB VMEM tile.
+        rows_per_block = min(512, -(-n // 8) * 8)
+        pad = (-n) % rows_per_block
+        rows = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    grid = (b, (n + pad) // rows_per_block)
+    out = pl.pallas_call(
         functools.partial(_knn_kernel, k, n),
         grid=grid,
         in_specs=[
@@ -106,9 +115,10 @@ def knn_pallas(
         out_specs=pl.BlockSpec(
             (1, rows_per_block, k), lambda i, j: (i, j, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, n + pad, k), jnp.int32),
         interpret=interpret,
-    )(x, x)
+    )(rows, x)
+    return out[:, :n] if pad else out
 
 
 def use_knn_kernel(n: int, k: int) -> bool:

@@ -129,6 +129,23 @@ class TestKnnKernel:
             got = np.asarray(knn_pallas(x, k, interpret=True))
             np.testing.assert_array_equal(got, want)
 
+    def test_interpret_indivisible_n(self):
+        """N with no power-of-two divisor down to 8 (the reference's
+        rand_row faces land on such sizes, readbnt.py:59) must take the
+        padded-rows path — never a single [N, N] VMEM block — and
+        return the same neighbour SET (order may swap under near-ties,
+        see the kernel docstring)."""
+        from pointcloudattack_tpu.ops.pallas.knn_kernel import knn_pallas
+
+        rng = np.random.RandomState(2)
+        for (b, n, k) in [(2, 100, 8), (1, 1023, 16), (1, 515, 5)]:
+            x = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+            want = np.sort(np.asarray(self._xla_knn(x, k)), axis=-1)
+            got = np.sort(
+                np.asarray(knn_pallas(x, k, interpret=True)), axis=-1
+            )
+            np.testing.assert_array_equal(got, want)
+
     def test_interpret_tie_breaking(self):
         """Duplicate points: ties must resolve by ascending index like
         lax.top_k's stable sort."""
