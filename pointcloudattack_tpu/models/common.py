@@ -13,34 +13,86 @@ Conventions (framework-wide):
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+    dense_bn_maxpool,
+    use_dense_max_kernel,
+)
+
+# Global dispatch switch for the fused Dense+BN+maxpool tail of
+# ``PointMLP(pool_max=True)`` (ops/pallas/dense_max_kernel.py).
+# "enabled" honors PCA_FUSED_MAXPOOL=0 as a kill switch; "interpret" is
+# a test hook that runs the kernel through the Pallas interpreter on CPU.
+FUSED_MAXPOOL = {
+    "enabled": os.environ.get("PCA_FUSED_MAXPOOL", "1") != "0",
+    "interpret": False,
+}
+
 
 class PointMLP(nn.Module):
     """Stack of per-point Dense+BN+ReLU layers (= reference 1x1 convs).
 
     Operates on the last axis of any ``[..., C]`` input.
+
+    pool_max=True additionally max-pools the LAST layer's output over
+    the point axis (axis 1) and returns ``[B, C]`` — on TPU in eval mode
+    that last Dense+BN+max runs as one fused Pallas pass that never
+    materializes the [B, N, C] map (the measured HBM bottleneck of
+    PointNet-victim attacks, see ops/pallas/dense_max_kernel.py).  ReLU
+    (when ``relu_last``) is applied after the pool — bit-identical, max
+    and relu commute.
     """
 
     features: Sequence[int]
     relu_last: bool = True
+    pool_max: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense{i}")(x)
-            x = nn.BatchNorm(
+            last = i == n - 1
+            dense = nn.Dense(f, name=f"dense{i}")
+            bn = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
                 name=f"bn{i}",
-            )(x)
-            if self.relu_last or i < n - 1:
+            )
+            fused = (
+                last
+                and self.pool_max
+                and not train
+                and not self.is_initializing()
+                and x.ndim == 3
+                and FUSED_MAXPOOL["enabled"]
+                and (
+                    FUSED_MAXPOOL["interpret"]
+                    or use_dense_max_kernel(x.shape[1], x.shape[-1], f)
+                )
+            )
+            if fused:
+                pd = self.get_variable("params", f"dense{i}")
+                pb = self.get_variable("params", f"bn{i}")
+                st = self.get_variable("batch_stats", f"bn{i}")
+                # flax BatchNorm's eval math: (x - mean) * mul + bias
+                # with mul = rsqrt(var + eps) * scale — same op order
+                mul = jax.lax.rsqrt(st["var"] + 1e-5) * pb["scale"]
+                x = dense_bn_maxpool(
+                    x, pd["kernel"], pd["bias"], st["mean"], mul,
+                    pb["bias"], FUSED_MAXPOOL["interpret"],
+                ).astype(x.dtype)
+            else:
+                x = bn(dense(x))
+                if last and self.pool_max:
+                    x = jnp.max(x, axis=1)
+            if self.relu_last or not last:
                 x = nn.relu(x)
         return x
 

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointcloudattack_tpu.models.common import PointMLP, max_pool_points
+from pointcloudattack_tpu.models.common import PointMLP
 
 
 class STN(nn.Module):
@@ -27,9 +27,11 @@ class STN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        # x: [B, N, k]
-        h = PointMLP([64, 128, 1024], name="mlp")(x, train=train)
-        h = max_pool_points(h)  # [B, 1024]
+        # x: [B, N, k] — the 128->1024 tail + max pool runs fused on TPU
+        # (ops/pallas/dense_max_kernel.py; relu commutes with max)
+        h = PointMLP([64, 128, 1024], pool_max=True, name="mlp")(
+            x, train=train
+        )  # [B, 1024]
         h = PointMLP([512, 256], name="fc")(h, train=train)
         mat = nn.Dense(
             self.k * self.k,
@@ -69,8 +71,9 @@ class PointNetFeat(nn.Module):
 
         point_feat = x  # [B, N, 64]
         x = PointMLP([128], name="mlp2")(x, train=train)
-        x = PointMLP([1024], relu_last=False, name="mlp3")(x, train=train)
-        gf = max_pool_points(x)  # [B, 1024]
+        gf = PointMLP(
+            [1024], relu_last=False, pool_max=True, name="mlp3"
+        )(x, train=train)  # [B, 1024] (fused Dense+BN+max on TPU)
         if self.global_feat:
             return gf, trans, trans_feat
         n = point_feat.shape[1]
