@@ -18,6 +18,7 @@ batch (one ~25 ms fetch amortized over reps).
 """
 
 import json
+import sys
 import time
 
 from pointcloudattack_tpu.utils.compile_cache import enable_persistent_cache
@@ -27,6 +28,30 @@ enable_persistent_cache()
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _wait_for_backend(max_wait: float = 1500.0, sleep: float = 60.0):
+    """Retry backend init: the axon TPU tunnel is occasionally contended
+    and the first ``jax.devices()`` raises UNAVAILABLE for minutes at a
+    time.  jax caches the failure, so each retry clears backend state
+    first."""
+    t0 = time.time()
+    while True:
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if time.time() - t0 > max_wait:
+                raise
+            print(
+                f"backend unavailable ({str(e).splitlines()[0][:80]}); "
+                f"retrying in {sleep:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(sleep)
+            try:
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
 
 from pointcloudattack_tpu import models
 from pointcloudattack_tpu.attacks.cw import CWPerturbConfig, build_cw_attack
@@ -269,6 +294,7 @@ def bench_si_ifgm(normal_refresh: int = 1):
 
 
 def main():
+    _wait_for_backend()
     cw = bench_cw()
     families = {"cw": cw}
     for name, fn in (

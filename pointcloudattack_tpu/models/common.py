@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
-    dense_bn_maxpool,
-    use_dense_max_kernel,
+    mlp_chain_maxpool,
+    use_chain_kernel,
 )
 
 # Global dispatch switch for the fused Dense+BN+maxpool tail of
@@ -53,43 +53,57 @@ class PointMLP(nn.Module):
     relu_last: bool = True
     pool_max: bool = False
 
+    def _fused_layer(self, i: int):
+        """(w, b, mean, mul, beta) of layer i for mlp_chain_maxpool.
+
+        flax BatchNorm's eval math is (x - mean) * mul + bias with
+        mul = rsqrt(var + eps) * scale — same op order here.
+        """
+        pd = self.get_variable("params", f"dense{i}")
+        pb = self.get_variable("params", f"bn{i}")
+        st = self.get_variable("batch_stats", f"bn{i}")
+        mul = jax.lax.rsqrt(st["var"] + 1e-5) * pb["scale"]
+        return (pd["kernel"], pd["bias"], st["mean"], mul, pb["bias"])
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         n = len(self.features)
+        fusable = (
+            self.pool_max
+            and not train
+            and not self.is_initializing()
+            and x.ndim == 3
+            and FUSED_MAXPOOL["enabled"]
+        )
+        ip = FUSED_MAXPOOL["interpret"]
+        # whole-stack fusion: every layer + the max pool in ONE Pallas
+        # pass — no [B, N, C] map of ANY layer touches HBM (intermediate
+        # ReLUs run inside the kernel; a trailing relu_last commutes
+        # with the max and is applied to the pooled output below)
+        if fusable and (
+            ip or use_chain_kernel(x.shape[1], (x.shape[-1], *self.features))
+        ):
+            layers = tuple(self._fused_layer(i) for i in range(n))
+            x = mlp_chain_maxpool(x, layers, ip).astype(x.dtype)
+            return nn.relu(x) if self.relu_last else x
+
         for i, f in enumerate(self.features):
             last = i == n - 1
-            dense = nn.Dense(f, name=f"dense{i}")
-            bn = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                name=f"bn{i}",
-            )
-            fused = (
-                last
-                and self.pool_max
-                and not train
-                and not self.is_initializing()
-                and x.ndim == 3
-                and FUSED_MAXPOOL["enabled"]
-                and (
-                    FUSED_MAXPOOL["interpret"]
-                    or use_dense_max_kernel(x.shape[1], x.shape[-1], f)
-                )
-            )
-            if fused:
-                pd = self.get_variable("params", f"dense{i}")
-                pb = self.get_variable("params", f"bn{i}")
-                st = self.get_variable("batch_stats", f"bn{i}")
-                # flax BatchNorm's eval math: (x - mean) * mul + bias
-                # with mul = rsqrt(var + eps) * scale — same op order
-                mul = jax.lax.rsqrt(st["var"] + 1e-5) * pb["scale"]
-                x = dense_bn_maxpool(
-                    x, pd["kernel"], pd["bias"], st["mean"], mul,
-                    pb["bias"], FUSED_MAXPOOL["interpret"],
+            # tail-only fusion fallback (full chain ineligible)
+            if last and fusable and (
+                ip or use_chain_kernel(x.shape[1], (x.shape[-1], f))
+            ):
+                x = mlp_chain_maxpool(
+                    x, (self._fused_layer(i),), ip
                 ).astype(x.dtype)
             else:
-                x = bn(dense(x))
+                x = nn.Dense(f, name=f"dense{i}")(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"bn{i}",
+                )(x)
                 if last and self.pool_max:
                     x = jnp.max(x, axis=1)
             if self.relu_last or not last:

@@ -17,7 +17,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointcloudattack_tpu.models.common import PointMLP
+from pointcloudattack_tpu.models.common import FUSED_MAXPOOL, PointMLP
+from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+    mlp_chain_maxpool,
+    use_chain_kernel,
+)
 
 
 class STN(nn.Module):
@@ -49,6 +53,25 @@ class PointNetFeat(nn.Module):
     global_feat: bool = True
     feature_transform: bool = False
 
+    def _pml_layer(self, name: str):
+        """(w, b, mean, mul, beta) of a single-layer child PointMLP."""
+        pd = self.get_variable("params", name)
+        pb = pd["bn0"]
+        st = self.get_variable("batch_stats", name)["bn0"]
+        mul = jax.lax.rsqrt(st["var"] + 1e-5) * pb["scale"]
+        return (
+            pd["dense0"]["kernel"], pd["dense0"]["bias"], st["mean"],
+            mul, pb["bias"],
+        )
+
+    def _fusable(self, train: bool) -> bool:
+        return (
+            not train
+            and not self.is_initializing()
+            and self.global_feat  # seg head needs per-point mlp1 output
+            and FUSED_MAXPOOL["enabled"]
+        )
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         # x: [B, N, 3]
@@ -56,6 +79,24 @@ class PointNetFeat(nn.Module):
         x = jnp.einsum(
             "bnc,bck->bnk", x, trans, precision=jax.lax.Precision.HIGHEST
         )
+        n = x.shape[1]
+        ip = FUSED_MAXPOOL["interpret"]
+
+        # Cross-module fusion: with no feature transform, the whole
+        # mlp1 -> mlp2 -> mlp3 -> max spine runs as ONE Pallas pass
+        # (ops/pallas/dense_max_kernel.py) — none of the [B, N, 64/128/
+        # 1024] maps of reference model/pointnet.py:104-121 touch HBM.
+        if (
+            not self.feature_transform
+            and self._fusable(train)
+            and (ip or use_chain_kernel(n, (x.shape[-1], 64, 128, 1024)))
+        ):
+            layers = tuple(
+                self._pml_layer(name) for name in ("mlp1", "mlp2", "mlp3")
+            )
+            gf = mlp_chain_maxpool(x, layers, ip).astype(x.dtype)
+            return gf, trans, None
+
         x = PointMLP([64], name="mlp1")(x, train=train)
 
         if self.feature_transform:
@@ -66,6 +107,15 @@ class PointNetFeat(nn.Module):
                 trans_feat,
                 precision=jax.lax.Precision.HIGHEST,
             )
+            # the mlp2 -> mlp3 -> max tail still fuses (L=2 chain)
+            if self._fusable(train) and (
+                ip or use_chain_kernel(n, (x.shape[-1], 128, 1024))
+            ):
+                layers = (
+                    self._pml_layer("mlp2"), self._pml_layer("mlp3"),
+                )
+                gf = mlp_chain_maxpool(x, layers, ip).astype(x.dtype)
+                return gf, trans, trans_feat
         else:
             trans_feat = None
 

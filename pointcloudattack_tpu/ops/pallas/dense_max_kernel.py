@@ -1,22 +1,26 @@
-"""Pallas TPU kernel: fused per-point Dense + eval-BatchNorm + global max.
+"""Pallas TPU kernels: fused per-point MLP chain + eval-BatchNorm + max.
 
 PointNet's forward (reference model/pointnet.py:104-148) materializes a
 [B, N, 1024] feature map (twice — once inside the STN, once on the main
-path) only to max-pool it over N immediately.  At the CW-headline config
-(B=64, N=1024, f32) those two maps are ~268 MB each; writing them out of
-the matmul and reading them back into the reduce is the measured HBM
-bottleneck of every PointNet-victim attack family (BENCH.md roofline:
-MFU 0.24 f32 / 0.44 bf16, both bandwidth-bound).
+path) plus the [B, N, 64/128] maps feeding it, only to max-pool over N
+immediately.  At the CW-headline config (B=64, N=1024, f32) the 1024-wide
+maps are ~268 MB each; writing them out of the matmul and reading them
+back into the reduce is the measured HBM bottleneck of every
+PointNet-victim attack family (BENCH.md roofline: MFU 0.24 f32 / 0.44
+bf16, both bandwidth-bound).
 
-This kernel streams row tiles of ``x`` through VMEM, computes
-``z = (x @ w + b - mean) * mul + beta`` on the MXU/VPU, and keeps a
-running (max, argmax) per feature column — the [N, C_out] map never
-touches HBM.  The custom VJP rebuilds the sparse max-pool cotangent
-tile-by-tile as a compare-against-argmax mask and feeds it straight into
-the ``dz @ w^T`` MXU matmul, so the backward materializes no [N, C_out]
-map either.
+``mlp_chain_maxpool`` streams row tiles of ``x`` through VMEM, runs the
+whole per-point chain ``h_l = relu((h_{l-1} @ w_l + b_l - mean_l) *
+mul_l + beta_l)`` (no relu after the last layer) on the MXU/VPU, and
+keeps a running (max, argmax) per final feature column — no intermediate
+map ever touches HBM: one pass reads x [B, N, C0] and writes [B, C_L].
+The custom VJP recomputes the pre-pool chain tile-by-tile
+(flash-attention style), expands the sparse max-pool cotangent as a
+compare-against-argmax mask, and back-propagates through the chain's
+matmuls entirely in VMEM — the only HBM traffic is re-reading x and
+writing dx.
 
-Numerics: the matmuls truncate operands to bf16 with f32 accumulation —
+Numerics: matmuls truncate operands to bf16 with f32 accumulation —
 XLA's DEFAULT precision for f32 dots on TPU, which is what the unfused
 ``nn.Dense`` path runs.  Elementwise BN math runs in f32.  Argmax ties
 break to the LOWEST row index (``jnp.argmax`` semantics); XLA's
@@ -25,9 +29,14 @@ continuous point clouds ties are measure-zero, and the parity tests
 assert gradient equality on tie-free inputs.
 
 ReLU commutes with max (both monotone), so callers that need
-relu(bn(dense(x))) pooled apply the relu AFTER the pooled [B, C] output
-— bit-identical values, and the relu mask gradient composes correctly
+relu(last_layer) pooled apply the relu AFTER the pooled [B, C] output —
+bit-identical values, and the relu mask gradient composes correctly
 with the argmax cotangent.
+
+Parameter cotangents (dead code in attacks, where only d/dx is
+demanded and XLA DCEs the rest) come from ``jax.vjp`` of the unfused
+reference chain — exact, and only materialized if a training-style
+caller actually differentiates w.r.t. weights through the fused op.
 """
 
 from __future__ import annotations
@@ -49,27 +58,41 @@ _TILE_N = 256
 _NEG = -3.0e38  # finite -inf stand-in: padded rows never win the max
 
 
-def _fwd_kernel(n: int, x_ref, w_ref, b_ref, mean_ref, mul_ref, beta_ref,
-                y_ref, idx_ref):
-    """Grid (B, nt): x [1, T, Cin]; outputs [1, C] revisited over nt."""
+def _dot_bf16(a, b, trans_b=False):
+    """bf16-truncated MXU matmul with f32 accumulation (XLA's DEFAULT
+    precision for f32 dots on TPU)."""
+    dims = (((1,), (1 if trans_b else 0,)), ((), ()))
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _epilogue(z, b_ref, mean_ref, mul_ref, beta_ref):
+    return (z + b_ref[...] - mean_ref[...]) * mul_ref[...] + beta_ref[...]
+
+
+def _chain_fwd_kernel(n, num_layers, x_ref, *refs):
+    """Grid (B, nt): x [1, T, C0]; 5 param refs per layer; outputs
+    (y [1, C_L], idx [1, C_L]) revisited across nt with running max."""
+    y_ref, idx_ref = refs[-2], refs[-1]
     j = pl.program_id(1)
     t = x_ref.shape[1]
-    xt = x_ref[0]  # [T, Cin]
-    z = jax.lax.dot_general(
-        xt.astype(jnp.bfloat16),
-        w_ref[...].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [T, C]
-    z = (z + b_ref[...] - mean_ref[...]) * mul_ref[...] + beta_ref[...]
-
+    h = x_ref[0].astype(jnp.float32)  # [T, C0]
+    for layer in range(num_layers):
+        w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
+        z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
+        if layer < num_layers - 1:
+            h = jnp.maximum(z, 0.0)
     rows = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0) + j * t
     z = jnp.where(rows < n, z, _NEG)  # mask pad rows
 
-    tile_max = jnp.max(z, axis=0, keepdims=True)  # [1, C]
+    tile_max = jnp.max(z, axis=0, keepdims=True)  # [1, C_L]
     tile_arg = (
         jnp.argmax(z, axis=0).astype(jnp.int32)[None, :] + j * t
-    )  # [1, C]
+    )
 
     @pl.when(j == 0)
     def _():
@@ -84,25 +107,38 @@ def _fwd_kernel(n: int, x_ref, w_ref, b_ref, mean_ref, mul_ref, beta_ref,
         idx_ref[...] = jnp.where(better, tile_arg, idx_ref[...])
 
 
-def _bwd_kernel(w_ref, idx_ref, g_ref, dx_ref):
-    """Grid (B, nt): dx tile = onehot(argmax-in-tile) * g @ w^T.
+def _chain_bwd_kernel(num_layers, x_ref, *refs):
+    """Grid (B, nt): recompute the tile's pre-pool chain, expand the
+    sparse argmax cotangent, and back-propagate to dx — all in VMEM.
 
-    ``g = dy * mul`` is the cotangent at the winning row's pre-BN-scale
-    activation; rows that won nothing get exactly zero.
+    refs: 5 param refs per layer, then idx [1, C_L], g [1, C_L]
+    (g = dy * mul_L, the cotangent at the winner's final matmul output),
+    then the dx [1, T, C0] output.
     """
+    idx_ref, g_ref, dx_ref = refs[-3], refs[-2], refs[-1]
     j = pl.program_id(1)
-    t = dx_ref.shape[1]
+    t = x_ref.shape[1]
+
+    h = x_ref[0].astype(jnp.float32)
+    masks = []
+    for layer in range(num_layers - 1):
+        w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
+        z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
+        masks.append(z > 0.0)
+        h = jnp.maximum(z, 0.0)
+
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (t, g_ref.shape[1]), 0
     )
-    hit = idx_ref[...] == rows + j * t  # [T, C] (idx broadcasts [1, C])
-    m = jnp.where(hit, g_ref[...], 0.0)  # [T, C] f32
-    dx_ref[0] = jax.lax.dot_general(
-        m.astype(jnp.bfloat16),
-        w_ref[...].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dx_ref.dtype)  # [T, Cin]
+    hit = idx_ref[...] == rows + j * t  # [T, C_L]
+    c = jnp.where(hit, g_ref[...], 0.0)  # cotangent at final dot, f32
+    for layer in range(num_layers - 1, -1, -1):
+        w = refs[5 * layer]
+        dh = _dot_bf16(c, w[...], trans_b=True)  # [T, C_{layer-1}]
+        if layer > 0:
+            mul_prev = refs[5 * (layer - 1) + 3]
+            c = jnp.where(masks[layer - 1], dh, 0.0) * mul_prev[...]
+    dx_ref[0] = dh.astype(dx_ref.dtype)
 
 
 def _pad_n(x: jax.Array, tile: int) -> jax.Array:
@@ -112,23 +148,34 @@ def _pad_n(x: jax.Array, tile: int) -> jax.Array:
     return x
 
 
+def _layer_specs(layers):
+    """Replicated (non-blocked) specs for each layer's 5 param arrays."""
+    specs, args = [], []
+    for w, b, mean, mul, beta in layers:
+        f32v = lambda a: a.astype(jnp.float32).reshape(1, -1)
+        specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
+        args.append(w)
+        for v in (b, mean, mul, beta):
+            specs.append(
+                pl.BlockSpec((1, v.shape[-1]), lambda i, j: (0, 0))
+            )
+            args.append(f32v(v))
+    return specs, args
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _fwd_pallas(x, w, b, mean, mul, beta, interpret=False):
+def _chain_fwd_pallas(x, layers, interpret=False):
     bsz, n, _ = x.shape
-    cout = w.shape[1]
+    cout = layers[-1][0].shape[1]
     xp = _pad_n(x, _TILE_N)
     nt = xp.shape[1] // _TILE_N
-    f32 = lambda a: a.astype(jnp.float32).reshape(1, -1)
+    pspecs, pargs = _layer_specs(layers)
     y, idx = pl.pallas_call(
-        functools.partial(_fwd_kernel, n),
+        functools.partial(_chain_fwd_kernel, n, len(layers)),
         grid=(bsz, nt),
         in_specs=[
             pl.BlockSpec((1, _TILE_N, x.shape[2]), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((w.shape[0], cout), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+            *pspecs,
         ],
         out_specs=[
             pl.BlockSpec((1, cout), lambda i, j: (i, 0)),
@@ -139,107 +186,132 @@ def _fwd_pallas(x, w, b, mean, mul, beta, interpret=False):
             jax.ShapeDtypeStruct((bsz, cout), jnp.int32),
         ],
         interpret=interpret,
-    )(xp, w, f32(b), f32(mean), f32(mul), f32(beta))
+    )(xp, *pargs)
     return y, idx
 
 
-@functools.partial(jax.jit, static_argnames=("n", "dx_dtype", "interpret"))
-def _bwd_pallas(w, idx, g, n, dx_dtype, interpret=False):
-    """dx [B, n, Cin] from the argmax indices and g = dy * mul."""
-    bsz, cout = g.shape
-    npad = n + ((-n) % _TILE_N)
-    nt = npad // _TILE_N
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chain_bwd_pallas(x, layers, idx, g, interpret=False):
+    """dx [B, N, C0]: sparse pool cotangent through the chain."""
+    bsz, n, c0 = x.shape
+    cout = g.shape[1]
+    xp = _pad_n(x, _TILE_N)
+    nt = xp.shape[1] // _TILE_N
+    pspecs, pargs = _layer_specs(layers)
     dx = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_chain_bwd_kernel, len(layers)),
         grid=(bsz, nt),
         in_specs=[
-            pl.BlockSpec((w.shape[0], cout), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, _TILE_N, c0), lambda i, j: (i, j, 0)),
+            *pspecs,
             pl.BlockSpec((1, cout), lambda i, j: (i, 0)),
             pl.BlockSpec((1, cout), lambda i, j: (i, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, _TILE_N, w.shape[0]), lambda i, j: (i, j, 0)
+            (1, _TILE_N, c0), lambda i, j: (i, j, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, npad, w.shape[0]), dx_dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, xp.shape[1], c0), x.dtype),
         interpret=interpret,
-    )(w, idx, g.astype(jnp.float32))
+    )(xp, *pargs, idx, g.astype(jnp.float32))
     return dx[:, :n]
 
 
-def reference_dense_bn_maxpool(x, w, b, mean, mul, beta):
-    """Unfused oracle: the exact op sequence of Dense + eval-BN + max."""
-    z = x @ w + b
-    z = (z.astype(jnp.float32) - mean.astype(jnp.float32)) * mul.astype(
-        jnp.float32
-    ) + beta.astype(jnp.float32)
-    return jnp.max(z, axis=1)
+def reference_mlp_chain_maxpool(x, layers):
+    """Unfused oracle: the exact op sequence of the fused chain."""
+    h = x.astype(jnp.float32)
+    for layer_i, (w, b, mean, mul, beta) in enumerate(layers):
+        f = lambda a: a.astype(jnp.float32)
+        z = (h @ f(w) + f(b) - f(mean)) * f(mul) + f(beta)
+        h = jnp.maximum(z, 0.0) if layer_i < len(layers) - 1 else z
+    return jnp.max(h, axis=1)
+
+
+_OP_CACHE: dict = {}
 
 
 def _make_op(interpret: bool):
     """custom_vjp instance with ``interpret`` closed over (jax requires
     custom_vjp nondiff args to LEAD the signature, so a trailing flag
-    can't be a nondiff_argnum)."""
+    can't be a nondiff_argnum).  ``layers`` is a pytree primal input."""
 
     @jax.custom_vjp
-    def op(x, w, b, mean, mul, beta):
-        y, _ = _fwd_pallas(x, w, b, mean, mul, beta, interpret=interpret)
+    def op(x, layers):
+        y, _ = _chain_fwd_pallas(x, layers, interpret=interpret)
         return y
 
-    def fwd(x, w, b, mean, mul, beta):
-        y, idx = _fwd_pallas(x, w, b, mean, mul, beta, interpret=interpret)
-        return y, (x, w, b, mean, mul, idx)
+    def fwd(x, layers):
+        y, idx = _chain_fwd_pallas(x, layers, interpret=interpret)
+        return y, (x, layers, idx)
 
     def bwd(res, dy):
-        x, w, b, mean, mul, idx = res
+        x, layers, idx = res
         dy = dy.astype(jnp.float32)
-        g = dy * mul.astype(jnp.float32)[None, :]
-        dx = _bwd_pallas(
-            w, idx, g, n=x.shape[1], dx_dtype=x.dtype, interpret=interpret
-        )
+        mul_last = layers[-1][3].astype(jnp.float32)
+        g = dy * mul_last[None, :]
+        dx = _chain_bwd_pallas(x, layers, idx, g, interpret=interpret)
 
-        # Parameter cotangents — exact, via the winning rows.  Dead code
-        # (XLA-DCE'd) in attack loops, where only dx is demanded.
-        win = jnp.take_along_axis(x, idx[:, :, None], axis=1)  # [B,C,Cin]
-        win_f = win.astype(jnp.float32)
-        dw = jnp.einsum("bci,bc->ic", win_f, g).astype(w.dtype)
-        db = jnp.sum(g, axis=0).astype(b.dtype)
-        dmean = (-jnp.sum(g, axis=0)).astype(mean.dtype)
-        pre = jnp.einsum(
-            "bci,ic->bc", win_f, w.astype(jnp.float32)
-        ) + b.astype(jnp.float32)
-        dmul = jnp.sum(
-            dy * (pre - mean.astype(jnp.float32)), axis=0
-        ).astype(mul.dtype)
-        dbeta = jnp.sum(dy, axis=0).astype(mul.dtype)
-        return dx, dw, db, dmean, dmul, dbeta
+        # Parameter cotangents via the unfused reference chain — exact,
+        # and XLA-DCE'd in attack loops where only dx is demanded.
+        _, ref_vjp = jax.vjp(
+            lambda ls: reference_mlp_chain_maxpool(x, ls), layers
+        )
+        (dlayers,) = ref_vjp(dy)
+        dlayers = jax.tree_util.tree_map(
+            lambda cot, prim: cot.astype(prim.dtype), dlayers, layers
+        )
+        return dx, dlayers
 
     op.defvjp(fwd, bwd)
     return op
 
 
-_OP = _make_op(False)
-_OP_INTERPRET = _make_op(True)
+def mlp_chain_maxpool(x, layers, interpret=False):
+    """max over points of an L-layer per-point Dense+eval-BN(+ReLU) chain.
+
+    x [B, N, C0] -> [B, C_L] f32.  ``layers`` is a tuple of
+    ``(w, b, mean, mul, beta)`` per layer, where ``mul``/``beta`` are
+    the folded eval-mode BatchNorm scale (``scale * rsqrt(var + eps)``)
+    and bias; ReLU is applied between layers, NOT after the last (a
+    trailing ReLU commutes with the max — callers apply it to the
+    pooled output).  Fuses reference model/pointnet.py:104-121's
+    conv1..conv3+bn+max (and the STN's, :26-36) into one VMEM-resident
+    pass; see module docstring.
+    """
+    key = (bool(interpret),)
+    if key not in _OP_CACHE:
+        _OP_CACHE[key] = _make_op(bool(interpret))
+    return _OP_CACHE[key](x, tuple(tuple(l) for l in layers))
 
 
 def dense_bn_maxpool(x, w, b, mean, mul, beta, interpret=False):
-    """max over points of ``(x @ w + b - mean) * mul + beta``.
-
-    x [B, N, Cin] -> [B, Cout] f32.  ``mul``/``beta`` are the folded
-    eval-mode BatchNorm scale (``scale * rsqrt(var + eps)``) and bias.
-    Fuses reference model/pointnet.py:104-121's conv3+bn3+max (and the
-    STN's, :26-36) into one VMEM-resident pass; see module docstring.
-    """
-    return (_OP_INTERPRET if interpret else _OP)(x, w, b, mean, mul, beta)
+    """Single-layer convenience wrapper: max_n((x @ w + b - mean) * mul
+    + beta) — the L=1 case of :func:`mlp_chain_maxpool`."""
+    return mlp_chain_maxpool(x, ((w, b, mean, mul, beta),), interpret)
 
 
-def use_dense_max_kernel(n: int, cin: int, cout: int) -> bool:
-    """Kernel pays when the pooled map is large and weights fit VMEM."""
+def reference_dense_bn_maxpool(x, w, b, mean, mul, beta):
+    """Unfused oracle for the single-layer wrapper."""
+    return reference_mlp_chain_maxpool(x, ((w, b, mean, mul, beta),))
+
+
+def use_chain_kernel(n: int, dims: tuple[int, ...]) -> bool:
+    """dims = (C0, F1, ..., FL).  The kernel pays when the pooled map is
+    large and every weight fits VMEM comfortably."""
     from pointcloudattack_tpu.ops.backend import is_tpu_backend
 
     if not _HAVE_PLTPU:
         return False
-    if cout % 128 or cout < 512 or cin > 512 or n < 64:
+    cout = dims[-1]
+    if cout % 128 or cout < 512 or n < 64 or len(dims) > 5:
         return False
-    if cin * cout * 4 > 4 * 1024 * 1024:
+    if any(d > 512 for d in dims[:-1]):
+        return False
+    wbytes = sum(a * b * 4 for a, b in zip(dims[:-1], dims[1:]))
+    if wbytes > 4 * 1024 * 1024:
         return False
     return is_tpu_backend()
+
+
+def use_dense_max_kernel(n: int, cin: int, cout: int) -> bool:
+    """Single-layer dispatch (kept for callers of dense_bn_maxpool)."""
+    return use_chain_kernel(n, (cin, cout))

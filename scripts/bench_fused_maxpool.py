@@ -1,0 +1,97 @@
+"""A/B the fused MLP-chain+maxpool kernel on the CW headline config.
+
+Runs the 200-iter CW attack (PointNet, B=64, N=1024) and a bare
+forward/backward decomposition with the fused kernel ON (default) and
+OFF (PCA_FUSED_MAXPOOL=0 re-exec), printing clouds/s for both.
+
+Usage:  python scripts/bench_fused_maxpool.py            # both arms
+        python scripts/bench_fused_maxpool.py --arm on   # one arm
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_arm() -> dict:
+    from pointcloudattack_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointcloudattack_tpu import models
+    from pointcloudattack_tpu.attacks.cw import (
+        CWPerturbConfig,
+        build_cw_attack,
+    )
+    from pointcloudattack_tpu.data.synthetic import make_synthetic_clouds
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    B, N, ITERS = 64, 1024, 200
+    clouds, labels = make_synthetic_clouds(40, 2, N, seed=0)
+    data = jnp.asarray(clouds[:B])
+    target = jnp.asarray(labels[:B])
+    model = models.make_model("PointNet", 40)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=N, batch=B
+    )
+
+    out = {}
+    for tag, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+        model_fn = make_model_fn(model, variables, compute_dtype=dtype)
+        attack = build_cw_attack(
+            model_fn,
+            CWPerturbConfig(
+                binary_step=1, num_iter=ITERS, kappa=30.0, budget=0.18
+            ),
+        )
+        res = attack(data, target, jax.random.PRNGKey(0))
+        np.asarray(res.best_dist)  # compile + warm
+        asr = float(np.mean(np.asarray(res.success)))
+        t0 = time.perf_counter()
+        outs = [
+            attack(data, target, jax.random.PRNGKey(1 + i)) for i in range(3)
+        ]
+        np.asarray(outs[-1].best_dist)
+        dt = (time.perf_counter() - t0) / 3
+        out[tag] = {
+            "clouds_per_sec": round(B / dt, 1),
+            "ms_per_iter": round(dt / ITERS * 1e3, 3),
+            "asr": asr,
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arm", choices=["on", "off"], default=None)
+    args = ap.parse_args()
+    if args.arm is not None:
+        print(json.dumps({args.arm: run_arm()}))
+        return
+    results = {}
+    for arm, env in (("fused_on", "1"), ("fused_off", "0")):
+        e = dict(os.environ, PCA_FUSED_MAXPOOL=env)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--arm", "on"],
+            env=e, capture_output=True, text=True, cwd=REPO,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        results[arm] = json.loads(line[-1])["on"] if line else {
+            "error": p.stderr[-300:]
+        }
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

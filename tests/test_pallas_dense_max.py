@@ -16,6 +16,7 @@ import pytest
 from pointcloudattack_tpu.models import common as mcommon
 from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
     dense_bn_maxpool,
+    mlp_chain_maxpool,
     reference_dense_bn_maxpool,
 )
 
@@ -77,28 +78,25 @@ def test_input_gradient_matches_oracle():
                                atol=1e-2)
 
 
-def test_param_gradients_match_oracle():
+def test_param_gradients_match_f32_reference():
+    """Weight/BN cotangents are the f32 reference chain's by design
+    (the custom bwd delegates them to jax.vjp of the unfused oracle) —
+    assert the wiring end-to-end."""
     key = jax.random.PRNGKey(5)
     x = jax.random.normal(jax.random.PRNGKey(6), (2, 256, 64))
     args = _params(key, 64, 512)
 
-    def loss(fn, *p):
-        return jnp.sum(fn(x, *p) ** 2)
-
     gk = jax.grad(
-        lambda *p: loss(
-            functools.partial(
-                lambda *a: dense_bn_maxpool(*a, True)
-            ), *p
-        ),
+        lambda *p: jnp.sum(dense_bn_maxpool(x, *p, True) ** 2),
         argnums=(0, 1, 2, 3, 4),
     )(*args)
     go = jax.grad(
-        lambda *p: loss(_bf16_oracle, *p), argnums=(0, 1, 2, 3, 4)
+        lambda *p: jnp.sum(reference_dense_bn_maxpool(x, *p) ** 2),
+        argnums=(0, 1, 2, 3, 4),
     )(*args)
-    # the kernel's dw uses the EXACT f32 winning rows; the oracle
-    # autodiffs through bf16-truncated x — elementwise comparison is
-    # dominated by that truncation, so check relative Frobenius error
+    # the fused op's primal y is the bf16-matmul value, so dy = 2y
+    # differs from the f32 reference's at bf16-rounding scale — hence
+    # loose-ish elementwise tolerance on otherwise identical formulas
     for a, b_, name in zip(gk, go, ["w", "b", "mean", "mul", "beta"]):
         a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
         err = np.linalg.norm(a - b_) / max(np.linalg.norm(b_), 1e-9)
@@ -132,6 +130,87 @@ def test_reference_oracle_is_unfused_sequence():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-6
     )
+
+
+def _chain_layers(key, dims):
+    return tuple(
+        _params(k, cin, cout)
+        for k, cin, cout in zip(
+            jax.random.split(key, len(dims) - 1), dims[:-1], dims[1:]
+        )
+    )
+
+
+def _bf16_chain_oracle(x, layers):
+    """Same math as the chain kernel: bf16-truncated matmuls, f32
+    epilogues, ReLU between layers (not after the last)."""
+    h = x.astype(jnp.float32)
+    for li, (w, b, mean, mul, beta) in enumerate(layers):
+        z = jax.lax.dot_general(
+            h.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            dimension_numbers=(((1 if h.ndim == 2 else 2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        f = lambda a: a.astype(jnp.float32)
+        z = (z + f(b) - f(mean)) * f(mul) + f(beta)
+        h = jnp.maximum(z, 0.0) if li < len(layers) - 1 else z
+    return jnp.max(h, axis=1)
+
+
+@pytest.mark.parametrize("n", [256, 300])  # 300: pad path
+def test_chain_forward_matches_oracle(n):
+    """3-layer chain (the PointNet mlp1->mlp2->mlp3 spine shape)."""
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, n, 8))
+    layers = _chain_layers(jax.random.PRNGKey(21), (8, 64, 128, 512))
+    got = mlp_chain_maxpool(x, layers, True)
+    want = _bf16_chain_oracle(x, layers)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_chain_input_gradient_matches_oracle():
+    """dx through the recompute-chain backward == oracle autodiff."""
+    x = jax.random.normal(jax.random.PRNGKey(22), (2, 256, 8))
+    layers = _chain_layers(jax.random.PRNGKey(23), (8, 64, 128, 512))
+    dy = jax.random.normal(jax.random.PRNGKey(24), (2, 512))
+    gk = jax.grad(
+        lambda a: jnp.sum(mlp_chain_maxpool(a, layers, True) * dy)
+    )(x)
+    go = jax.grad(
+        lambda a: jnp.sum(_bf16_chain_oracle(a, layers) * dy)
+    )(x)
+    # kernel truncates each backward cotangent to bf16 (the TPU DEFAULT
+    # backward-dot behavior); the CPU oracle keeps them f32
+    ak, ao = np.asarray(gk, np.float64), np.asarray(go, np.float64)
+    err = np.linalg.norm(ak - ao) / max(np.linalg.norm(ao), 1e-9)
+    assert err < 2e-2, f"rel frobenius err {err}"
+
+
+def test_chain_param_gradients_defined():
+    """Weight cotangents exist (training-style use), with the f32
+    reference chain's values (the custom bwd delegates to its vjp)."""
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        reference_mlp_chain_maxpool,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(25), (2, 256, 8))
+    layers = _chain_layers(jax.random.PRNGKey(26), (8, 64, 512))
+    gl = jax.grad(
+        lambda ls: jnp.sum(mlp_chain_maxpool(x, ls, True) ** 2)
+    )(layers)
+    go = jax.grad(
+        lambda ls: jnp.sum(reference_mlp_chain_maxpool(x, ls) ** 2)
+    )(layers)
+    for lt, (lk, lo) in enumerate(zip(gl, go)):
+        for a, b_ in zip(lk, lo):
+            assert a.shape == b_.shape and a.dtype == b_.dtype
+        ak = np.concatenate([np.ravel(a) for a in lk]).astype(np.float64)
+        ao = np.concatenate([np.ravel(a) for a in lo]).astype(np.float64)
+        err = np.linalg.norm(ak - ao) / max(np.linalg.norm(ao), 1e-9)
+        # dy = 2y differs at bf16-matmul rounding scale between the two
+        assert err < 1e-2, f"layer {lt}: rel frobenius err {err}"
 
 
 class TestPointNetFusedPath:
@@ -186,7 +265,7 @@ class TestPointNetFusedPath:
             raise AssertionError("fused kernel used in train mode")
 
         monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", True)
-        monkeypatch.setattr(mcommon, "dense_bn_maxpool", boom)
+        monkeypatch.setattr(mcommon, "mlp_chain_maxpool", boom)
         lp, _ = m.apply(
             v, x, train=True,
             rngs={"dropout": jax.random.PRNGKey(3)},
@@ -203,6 +282,6 @@ class TestPointNetFusedPath:
 
         monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", True)
         monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "enabled", False)
-        monkeypatch.setattr(mcommon, "dense_bn_maxpool", boom)
+        monkeypatch.setattr(mcommon, "mlp_chain_maxpool", boom)
         lp, _ = m.apply(v, x, train=False)
         assert lp.shape == (2, 8)
