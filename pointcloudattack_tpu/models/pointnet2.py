@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointcloudattack_tpu.models.common import PointMLP
+from pointcloudattack_tpu.models.common import FUSED_MAXPOOL, PointMLP
 from pointcloudattack_tpu.ops.ball_query import query_ball_point
 from pointcloudattack_tpu.ops.fps import farthest_point_sample
 from pointcloudattack_tpu.ops.gather import index_points
@@ -26,6 +26,43 @@ from pointcloudattack_tpu.ops.grouping import (
     sample_and_group,
     sample_and_group_all,
 )
+
+
+def _fused_group_mlp(parent: nn.Module, name: str, feats, grouped, train):
+    """Run a grouped PointMLP + max-over-K, fused when eligible.
+
+    Returns the pooled [B, S, C_L] (post-ReLU — SA stacks end in ReLU,
+    which commutes with max) or None to use the standard path.  The
+    fused pass (ops/pallas/dense_max_kernel.py::mlp_chain_groupmax)
+    keeps every [B, S, K, C] layer map VMEM-resident.
+    """
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        mlp_chain_groupmax,
+        use_group_chain_kernel,
+    )
+
+    if (
+        train
+        or parent.is_initializing()
+        or not FUSED_MAXPOOL["enabled"]
+    ):
+        return None
+    ip = FUSED_MAXPOOL["interpret"]
+    k = grouped.shape[2]
+    dims = (grouped.shape[-1], *feats)
+    if not (ip or use_group_chain_kernel(k, dims)):
+        return None
+    pd = parent.get_variable("params", name)
+    st = parent.get_variable("batch_stats", name)
+    layers = []
+    for i in range(len(feats)):
+        mul = jax.lax.rsqrt(st[f"bn{i}"]["var"] + 1e-5) * pd[f"bn{i}"]["scale"]
+        layers.append((
+            pd[f"dense{i}"]["kernel"], pd[f"dense{i}"]["bias"],
+            st[f"bn{i}"]["mean"], mul, pd[f"bn{i}"]["bias"],
+        ))
+    pooled = mlp_chain_groupmax(grouped, tuple(layers), ip)
+    return nn.relu(pooled).astype(grouped.dtype)
 
 
 class SetAbstraction(nn.Module):
@@ -52,9 +89,13 @@ class SetAbstraction(nn.Module):
                 self.npoint, self.radius, self.nsample, xyz, points,
                 key=fps_key,
             )
-        # grouped: [B, S, K, C] -> per-point MLP -> max over K
-        h = PointMLP(self.mlp, name="mlp")(grouped, train=train)
-        return new_xyz, jnp.max(h, axis=2)
+        # grouped: [B, S, K, C] -> per-point MLP -> max over K (fused
+        # chain+pool Pallas pass on TPU in eval mode)
+        pooled = _fused_group_mlp(self, "mlp", self.mlp, grouped, train)
+        if pooled is None:
+            h = PointMLP(self.mlp, name="mlp")(grouped, train=train)
+            pooled = jnp.max(h, axis=2)
+        return new_xyz, pooled
 
 
 class SetAbstractionMSG(nn.Module):
@@ -94,10 +135,15 @@ class SetAbstractionMSG(nn.Module):
                 )
             else:
                 grouped = grouped_xyz
-            h = PointMLP(self.mlp_list[i], name=f"branch{i}")(
-                grouped, train=train
+            pooled = _fused_group_mlp(
+                self, f"branch{i}", self.mlp_list[i], grouped, train
             )
-            outs.append(jnp.max(h, axis=2))
+            if pooled is None:
+                h = PointMLP(self.mlp_list[i], name=f"branch{i}")(
+                    grouped, train=train
+                )
+                pooled = jnp.max(h, axis=2)
+            outs.append(pooled)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

@@ -226,6 +226,207 @@ def reference_mlp_chain_maxpool(x, layers):
     return jnp.max(h, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Grouped variant: chain + max over the NEIGHBOUR axis of [B, G, K, C]
+# (PointNet++ set abstraction, reference model/pointnet2_utils.py:158-199:
+# shared MLP over [B, S, nsample, C] grouped tensors, max over nsample).
+# Each program covers whole K-segments, so the pool never crosses tiles
+# and the output block is written exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _group_fwd_kernel(k: int, num_layers, x_ref, *refs):
+    """Grid (B, ng): x [1, GPB*K, C0]; outputs (y, idx) [1, GPB, C_L]."""
+    y_ref, idx_ref = refs[-2], refs[-1]
+    h = x_ref[0].astype(jnp.float32)  # [GPB*K, C0]
+    for layer in range(num_layers):
+        w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
+        z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
+        if layer < num_layers - 1:
+            h = jnp.maximum(z, 0.0)
+    gpb = y_ref.shape[1]
+    zs = z.reshape(gpb, k, z.shape[-1])  # split K segments (K % 8 == 0)
+    m = jnp.max(zs, axis=1)  # [GPB, C_L]
+    # first index attaining the max (jnp.argmax tie order) via min-iota —
+    # the same reduction-only idiom as the knn kernel
+    kiota = jax.lax.broadcasted_iota(jnp.int32, zs.shape, 1)
+    idx = jnp.min(jnp.where(zs == m[:, None, :], kiota, k), axis=1)
+    y_ref[0] = m
+    idx_ref[0] = idx.astype(jnp.int32)
+
+
+def _group_bwd_kernel(k: int, num_layers, x_ref, *refs):
+    """Grid (B, ng): recompute the chain, expand the per-segment argmax
+    cotangent, back-propagate to dx [1, GPB*K, C0]."""
+    idx_ref, g_ref, dx_ref = refs[-3], refs[-2], refs[-1]
+    h = x_ref[0].astype(jnp.float32)
+    masks = []
+    for layer in range(num_layers - 1):
+        w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
+        z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
+        masks.append(z > 0.0)
+        h = jnp.maximum(z, 0.0)
+
+    gpb, cout = g_ref.shape[1], g_ref.shape[2]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (gpb, k, cout), 1)
+    hit = idx_ref[0][:, None, :] == kiota  # [GPB, K, C_L]
+    c = jnp.where(hit, g_ref[0][:, None, :], 0.0).reshape(gpb * k, cout)
+    for layer in range(num_layers - 1, -1, -1):
+        w = refs[5 * layer]
+        dh = _dot_bf16(c, w[...], trans_b=True)
+        if layer > 0:
+            mul_prev = refs[5 * (layer - 1) + 3]
+            c = jnp.where(masks[layer - 1], dh, 0.0) * mul_prev[...]
+    dx_ref[0] = dh.astype(dx_ref.dtype)
+
+
+def _pad_groups(x: jax.Array, gpb: int) -> jax.Array:
+    pad = (-x.shape[1]) % gpb
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    return x
+
+
+def _groups_per_block(k: int, g: int) -> int:
+    gpb = max(1, _TILE_N // k)
+    while gpb > 1 and g % gpb:
+        gpb -= 1
+    return gpb
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _group_fwd_pallas(x, layers, interpret=False):
+    bsz, g, k, c0 = x.shape
+    cout = layers[-1][0].shape[1]
+    gpb = _groups_per_block(k, g)
+    xp = _pad_groups(x, gpb)
+    ng = xp.shape[1] // gpb
+    xr = xp.reshape(bsz, ng * gpb * k, c0)
+    pspecs, pargs = _layer_specs(layers)
+    y, idx = pl.pallas_call(
+        functools.partial(_group_fwd_kernel, k, len(layers)),
+        grid=(bsz, ng),
+        in_specs=[
+            pl.BlockSpec((1, gpb * k, c0), lambda i, j: (i, j, 0)),
+            *pspecs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xr, *pargs)
+    return y[:, :g], idx[:, :g]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _group_bwd_pallas(x, layers, idx, gcot, interpret=False):
+    bsz, g, k, c0 = x.shape
+    cout = gcot.shape[-1]
+    gpb = _groups_per_block(k, g)
+    xp = _pad_groups(x, gpb)
+    ng = xp.shape[1] // gpb
+    xr = xp.reshape(bsz, ng * gpb * k, c0)
+    pad = ng * gpb - g
+    if pad:
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+        gcot = jnp.pad(gcot, ((0, 0), (0, pad), (0, 0)))
+    pspecs, pargs = _layer_specs(layers)
+    dx = pl.pallas_call(
+        functools.partial(_group_bwd_kernel, k, len(layers)),
+        grid=(bsz, ng),
+        in_specs=[
+            pl.BlockSpec((1, gpb * k, c0), lambda i, j: (i, j, 0)),
+            *pspecs,
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, gpb * k, c0), lambda i, j: (i, j, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, ng * gpb * k, c0), x.dtype),
+        interpret=interpret,
+    )(xr, *pargs, idx, gcot.astype(jnp.float32))
+    return dx.reshape(bsz, ng * gpb, k, c0)[:, :g]
+
+
+def reference_mlp_chain_groupmax(x, layers):
+    """Unfused oracle: chain over [B, G, K, C], max over K."""
+    h = x.astype(jnp.float32)
+    for layer_i, (w, b, mean, mul, beta) in enumerate(layers):
+        f = lambda a: a.astype(jnp.float32)
+        z = (h @ f(w) + f(b) - f(mean)) * f(mul) + f(beta)
+        h = jnp.maximum(z, 0.0) if layer_i < len(layers) - 1 else z
+    return jnp.max(h, axis=2)
+
+
+def _make_group_op(interpret: bool):
+    @jax.custom_vjp
+    def op(x, layers):
+        y, _ = _group_fwd_pallas(x, layers, interpret=interpret)
+        return y
+
+    def fwd(x, layers):
+        y, idx = _group_fwd_pallas(x, layers, interpret=interpret)
+        return y, (x, layers, idx)
+
+    def bwd(res, dy):
+        x, layers, idx = res
+        dy = dy.astype(jnp.float32)
+        mul_last = layers[-1][3].astype(jnp.float32)
+        g = dy * mul_last[None, None, :]
+        dx = _group_bwd_pallas(x, layers, idx, g, interpret=interpret)
+        _, ref_vjp = jax.vjp(
+            lambda ls: reference_mlp_chain_groupmax(x, ls), layers
+        )
+        (dlayers,) = ref_vjp(dy)
+        dlayers = jax.tree_util.tree_map(
+            lambda cot, prim: cot.astype(prim.dtype), dlayers, layers
+        )
+        return dx, dlayers
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def mlp_chain_groupmax(x, layers, interpret=False):
+    """max over the NEIGHBOUR axis of an L-layer per-point chain.
+
+    x [B, G, K, C0] -> [B, G, C_L] f32: the PointNet++ set-abstraction
+    pattern (shared MLP over grouped neighbours, max over nsample —
+    reference model/pointnet2_utils.py:158-199) with no [B, G, K, C]
+    layer map ever touching HBM.  ``layers`` as in
+    :func:`mlp_chain_maxpool` (ReLU between layers, none after the
+    last; SA stacks end in ReLU, which commutes with the max and is
+    applied to the pooled output by the caller).
+    """
+    key = ("group", bool(interpret))
+    if key not in _OP_CACHE:
+        _OP_CACHE[key] = _make_group_op(bool(interpret))
+    return _OP_CACHE[key](x, tuple(tuple(l) for l in layers))
+
+
+def use_group_chain_kernel(k: int, dims: tuple[int, ...]) -> bool:
+    """dims = (C0, F1, ..., FL) of the grouped chain; K = nsample."""
+    from pointcloudattack_tpu.ops.backend import is_tpu_backend
+
+    if not _HAVE_PLTPU:
+        return False
+    cout = dims[-1]
+    if k % 8 or k > 512 or cout % 64 or cout < 64 or len(dims) > 5:
+        return False
+    if any(d > 1024 for d in dims[:-1]):
+        return False
+    wbytes = sum(a * b * 4 for a, b in zip(dims[:-1], dims[1:]))
+    if wbytes > 4 * 1024 * 1024:
+        return False
+    return is_tpu_backend()
+
+
 _OP_CACHE: dict = {}
 
 
