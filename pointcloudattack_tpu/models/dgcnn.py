@@ -143,7 +143,40 @@ class EdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+        from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+            mlp_chain_groupmax,
+            use_group_chain_kernel,
+        )
+
         e = graph_feature(x, self.k, self.gather_mode)  # [B, N, k, 2C]
+        fusable = (
+            not train
+            and not self.is_initializing()
+            and FUSED_MAXPOOL["enabled"]
+        )
+        ip = FUSED_MAXPOOL["interpret"]
+        if fusable and (
+            ip
+            or use_group_chain_kernel(
+                self.k, (e.shape[-1], self.features)
+            )
+        ):
+            # fused Dense+eval-BN+max-over-k Pallas pass: the
+            # [B, N, k, features] edge map never touches HBM; the
+            # LeakyReLU is monotone, so it commutes with the max and
+            # runs on the pooled [B, N, features] output
+            pw = self.get_variable("params", "Dense_0")["kernel"]
+            pb = self.get_variable("params", "BatchNorm_0")
+            st = self.get_variable("batch_stats", "BatchNorm_0")
+            mul = jax.lax.rsqrt(st["var"] + 1e-5) * pb["scale"]
+            zero = jnp.zeros_like(st["mean"])
+            pooled = mlp_chain_groupmax(
+                e, ((pw, zero, st["mean"], mul, pb["bias"]),), ip
+            )
+            return nn.leaky_relu(
+                pooled, negative_slope=0.2
+            ).astype(x.dtype)
         h = nn.Dense(self.features, use_bias=False)(e)
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5

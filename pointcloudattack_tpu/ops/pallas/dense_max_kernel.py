@@ -236,7 +236,11 @@ def reference_mlp_chain_maxpool(x, layers):
 
 
 def _group_fwd_kernel(k: int, num_layers, x_ref, *refs):
-    """Grid (B, ng): x [1, GPB*K, C0]; outputs (y, idx) [1, GPB, C_L]."""
+    """Grid (B, ng): x [1, GPB*K, C0]; outputs (y, idx) [1, GPB, C_L].
+
+    Per-segment max/argmax via STATIC slices (gpb is small and static),
+    so K needs no sublane alignment — EdgeConv's k=20 works as-is.
+    """
     y_ref, idx_ref = refs[-2], refs[-1]
     h = x_ref[0].astype(jnp.float32)  # [GPB*K, C0]
     for layer in range(num_layers):
@@ -245,14 +249,15 @@ def _group_fwd_kernel(k: int, num_layers, x_ref, *refs):
         if layer < num_layers - 1:
             h = jnp.maximum(z, 0.0)
     gpb = y_ref.shape[1]
-    zs = z.reshape(gpb, k, z.shape[-1])  # split K segments (K % 8 == 0)
-    m = jnp.max(zs, axis=1)  # [GPB, C_L]
-    # first index attaining the max (jnp.argmax tie order) via min-iota —
-    # the same reduction-only idiom as the knn kernel
-    kiota = jax.lax.broadcasted_iota(jnp.int32, zs.shape, 1)
-    idx = jnp.min(jnp.where(zs == m[:, None, :], kiota, k), axis=1)
-    y_ref[0] = m
-    idx_ref[0] = idx.astype(jnp.int32)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (k, z.shape[-1]), 0)
+    for gi in range(gpb):
+        seg = z[gi * k : (gi + 1) * k]  # [K, C_L]
+        m = jnp.max(seg, axis=0)  # [C_L]
+        # first index attaining the max (jnp.argmax tie order) via
+        # min-iota — the same reduction-only idiom as the knn kernel
+        idx = jnp.min(jnp.where(seg == m[None, :], kiota, k), axis=0)
+        y_ref[0, gi] = m
+        idx_ref[0, gi] = idx.astype(jnp.int32)
 
 
 def _group_bwd_kernel(k: int, num_layers, x_ref, *refs):
@@ -268,9 +273,12 @@ def _group_bwd_kernel(k: int, num_layers, x_ref, *refs):
         h = jnp.maximum(z, 0.0)
 
     gpb, cout = g_ref.shape[1], g_ref.shape[2]
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (gpb, k, cout), 1)
-    hit = idx_ref[0][:, None, :] == kiota  # [GPB, K, C_L]
-    c = jnp.where(hit, g_ref[0][:, None, :], 0.0).reshape(gpb * k, cout)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (k, cout), 0)
+    segs = []
+    for gi in range(gpb):
+        hit = idx_ref[0, gi][None, :] == kiota  # [K, C_L]
+        segs.append(jnp.where(hit, g_ref[0, gi][None, :], 0.0))
+    c = jnp.concatenate(segs, axis=0)  # [GPB*K, C_L]
     for layer in range(num_layers - 1, -1, -1):
         w = refs[5 * layer]
         dh = _dot_bf16(c, w[...], trans_b=True)
@@ -288,10 +296,16 @@ def _pad_groups(x: jax.Array, gpb: int) -> jax.Array:
 
 
 def _groups_per_block(k: int, g: int) -> int:
-    gpb = max(1, _TILE_N // k)
-    while gpb > 1 and g % gpb:
-        gpb -= 1
-    return gpb
+    """Largest divisor of g fitting ~_TILE_N rows, preferring 8-aligned
+    row counts (gpb * k % 8 == 0) for clean f32 sublane tiling."""
+    best = 1
+    for gpb in range(min(max(1, _TILE_N // k), g), 0, -1):
+        if g % gpb == 0:
+            if (gpb * k) % 8 == 0:
+                return gpb
+            if best == 1:
+                best = gpb
+    return best
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -417,7 +431,7 @@ def use_group_chain_kernel(k: int, dims: tuple[int, ...]) -> bool:
     if not _HAVE_PLTPU:
         return False
     cout = dims[-1]
-    if k % 8 or k > 512 or cout % 64 or cout < 64 or len(dims) > 5:
+    if k < 4 or k > 512 or cout % 64 or cout < 64 or len(dims) > 5:
         return False
     if any(d > 1024 for d in dims[:-1]):
         return False

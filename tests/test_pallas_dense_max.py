@@ -428,3 +428,75 @@ class TestPointNet2FusedPath:
         gs = np.asarray(g_std, np.float64)
         err = np.linalg.norm(gf - gs) / max(np.linalg.norm(gs), 1e-9)
         assert err < 5e-2, f"input-grad rel frobenius err {err}"
+
+
+class TestDGCNNFusedEdgeConv:
+    """EdgeConv fused Dense+BN+max-over-k (leaky applied post-pool)."""
+
+    def test_edgeconv_module_matches_bf16_oracle(self, monkeypatch):
+        """Fused EdgeConv == a bf16-matmul oracle built from the same
+        params (the CPU standard path uses f32 matmuls, whose near-tie
+        argmax winners differ from the kernel's TPU-DEFAULT bf16 ones —
+        measured 42/8192 flips — so the oracle shares the kernel's
+        matmul precision; k=20 exercises the non-8-aligned K path)."""
+        import flax.linen as nn
+
+        from pointcloudattack_tpu.models.dgcnn import EdgeConv, graph_feature
+
+        m = EdgeConv(64, k=20, gather_mode="exact")
+        x = jax.random.normal(jax.random.PRNGKey(50), (2, 64, 3)) * 0.5
+        v = m.init(jax.random.PRNGKey(51), x)
+        pw = v["params"]["Dense_0"]["kernel"]
+        pb = v["params"]["BatchNorm_0"]
+        st = v["batch_stats"]["BatchNorm_0"]
+        mul = jax.lax.rsqrt(st["var"] + 1e-5) * pb["scale"]
+
+        def oracle(a):
+            e = graph_feature(a, 20, "exact")
+            z = jax.lax.dot_general(
+                e.astype(jnp.bfloat16),
+                pw.astype(jnp.bfloat16),
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            z = (z - st["mean"]) * mul + pb["bias"]
+            return nn.leaky_relu(jnp.max(z, axis=2), negative_slope=0.2)
+
+        monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", True)
+        fused = m.apply(v, x, train=False)
+        g_fused = jax.grad(
+            lambda a: m.apply(v, a, train=False)[:, :, 0].sum()
+        )(x)
+        want = oracle(x)
+        g_want = jax.grad(lambda a: oracle(a)[:, :, 0].sum())(x)
+
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+        gf = np.asarray(g_fused, np.float64)
+        gs = np.asarray(g_want, np.float64)
+        err = np.linalg.norm(gf - gs) / max(np.linalg.norm(gs), 1e-9)
+        assert err < 2e-2, f"input-grad rel frobenius err {err}"
+
+    def test_dgcnn_model_parity(self, monkeypatch):
+        from pointcloudattack_tpu import models
+
+        m = models.make_model("DGCNN", 8, k=8)
+        v = models.init_model(
+            m, jax.random.PRNGKey(0), num_points=64, batch=2
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 3)) * 0.5
+        lp_std, _ = m.apply(v, x, train=False)
+        monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", True)
+        lp_fused, _ = m.apply(v, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(lp_fused), np.asarray(lp_std), atol=0.2
+        )
+        assert (
+            np.asarray(jnp.argmax(lp_fused, -1))
+            == np.asarray(jnp.argmax(lp_std, -1))
+        ).all()
+        g = jax.grad(
+            lambda a: m.apply(v, a, train=False)[0][:, 0].sum()
+        )(x)
+        assert np.isfinite(np.asarray(g)).all()
