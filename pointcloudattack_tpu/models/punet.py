@@ -50,9 +50,42 @@ class PUNetSA(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, feats):
+        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+        from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+            mlp_chain_groupmax,
+            use_group_chain_kernel,
+        )
+
         new_xyz, grouped = sample_and_group(
             self.npoint, self.radius, self.nsample, xyz, feats, key=None
         )
+        ip = FUSED_MAXPOOL["interpret"]
+        if (
+            not self.is_initializing()
+            and FUSED_MAXPOOL["enabled"]
+            and (
+                ip
+                or use_group_chain_kernel(
+                    self.nsample, (grouped.shape[-1], *self.mlp)
+                )
+            )
+        ):
+            # fused chain+max-over-nsample Pallas pass (identity BN
+            # vectors — pu_net runs use_bn=False); the trailing ReLU
+            # commutes with the max and runs on the pooled output.
+            # Hot in --defense dupnet query loops (one PU-Net forward
+            # per query, reference DUP_Net.py:24-34).
+            pd = self.get_variable("params", "mlp")
+            layers = []
+            for i in range(len(self.mlp)):
+                w = pd[f"dense{i}"]["kernel"]
+                zero = jnp.zeros((w.shape[1],), w.dtype)
+                one = jnp.ones((w.shape[1],), w.dtype)
+                layers.append(
+                    (w, pd[f"dense{i}"]["bias"], zero, one, zero)
+                )
+            pooled = mlp_chain_groupmax(grouped, tuple(layers), ip)
+            return new_xyz, nn.relu(pooled).astype(grouped.dtype)
         h = _MLP(self.mlp, name="mlp")(grouped)
         return new_xyz, jnp.max(h, axis=2)
 

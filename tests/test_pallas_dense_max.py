@@ -500,3 +500,35 @@ class TestDGCNNFusedEdgeConv:
             lambda a: m.apply(v, a, train=False)[0][:, 0].sum()
         )(x)
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_punet_fused_sa_matches_standard(monkeypatch):
+    """PU-Net forward with fused SAs (identity BN vectors) vs standard.
+
+    PU-Net's _MLP has no BatchNorm, so both paths run the same bf16-vs-
+    f32 matmul question only at the interpret/kernel boundary; argmax
+    flips show up as per-point diffs — check value closeness and grad
+    direction.
+    """
+    from pointcloudattack_tpu.models.punet import PUNet
+
+    m = PUNet(npoint=64, up_ratio=2)
+    x = jax.random.normal(jax.random.PRNGKey(60), (2, 64, 3)) * 0.5
+    v = m.init(jax.random.PRNGKey(61), x)
+
+    std = m.apply(v, x)
+    g_std = jax.grad(lambda a: m.apply(v, a).sum())(x)
+    monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", True)
+    fused = m.apply(v, x)
+    g_fused = jax.grad(lambda a: m.apply(v, a).sum())(x)
+
+    assert fused.shape == std.shape == (2, 128, 3)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(std), rtol=5e-2, atol=5e-2
+    )
+    gf, gs = np.asarray(g_fused, np.float64), np.asarray(g_std, np.float64)
+    cos = float(
+        (gf * gs).sum()
+        / max(np.linalg.norm(gf) * np.linalg.norm(gs), 1e-12)
+    )
+    assert cos > 0.97, f"input-grad cosine {cos}"
