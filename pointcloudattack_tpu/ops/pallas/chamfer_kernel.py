@@ -121,9 +121,9 @@ def _min_rows_xla(x: jax.Array, y: jax.Array):
 
 
 def _use_pallas() -> bool:
-    from pointcloudattack_tpu.ops.backend import is_tpu_backend
+    from pointcloudattack_tpu.ops.backend import use_mosaic_kernels
 
-    return _HAVE_PLTPU and is_tpu_backend()
+    return _HAVE_PLTPU and use_mosaic_kernels()
 
 
 @jax.custom_vjp

@@ -426,7 +426,7 @@ def mlp_chain_groupmax(x, layers, interpret=False):
 
 def use_group_chain_kernel(k: int, dims: tuple[int, ...]) -> bool:
     """dims = (C0, F1, ..., FL) of the grouped chain; K = nsample."""
-    from pointcloudattack_tpu.ops.backend import is_tpu_backend
+    from pointcloudattack_tpu.ops.backend import use_mosaic_kernels
 
     if not _HAVE_PLTPU:
         return False
@@ -438,7 +438,7 @@ def use_group_chain_kernel(k: int, dims: tuple[int, ...]) -> bool:
     wbytes = sum(a * b * 4 for a, b in zip(dims[:-1], dims[1:]))
     if wbytes > 4 * 1024 * 1024:
         return False
-    return is_tpu_backend()
+    return use_mosaic_kernels()
 
 
 _OP_CACHE: dict = {}
@@ -512,7 +512,7 @@ def reference_dense_bn_maxpool(x, w, b, mean, mul, beta):
 def use_chain_kernel(n: int, dims: tuple[int, ...]) -> bool:
     """dims = (C0, F1, ..., FL).  The kernel pays when the pooled map is
     large and every weight fits VMEM comfortably."""
-    from pointcloudattack_tpu.ops.backend import is_tpu_backend
+    from pointcloudattack_tpu.ops.backend import use_mosaic_kernels
 
     if not _HAVE_PLTPU:
         return False
@@ -524,7 +524,7 @@ def use_chain_kernel(n: int, dims: tuple[int, ...]) -> bool:
     wbytes = sum(a * b * 4 for a, b in zip(dims[:-1], dims[1:]))
     if wbytes > 4 * 1024 * 1024:
         return False
-    return is_tpu_backend()
+    return use_mosaic_kernels()
 
 
 def use_dense_max_kernel(n: int, cin: int, cout: int) -> bool:

@@ -84,8 +84,8 @@ def fps_pallas(
 
 
 def use_fps_kernel(batch: int, n: int) -> bool:
-    from pointcloudattack_tpu.ops.backend import is_tpu_backend
+    from pointcloudattack_tpu.ops.backend import use_mosaic_kernels
 
     if not _HAVE_PLTPU or batch * n > _VMEM_ELEM_LIMIT:
         return False
-    return is_tpu_backend()
+    return use_mosaic_kernels()

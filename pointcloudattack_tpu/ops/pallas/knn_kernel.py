@@ -123,8 +123,8 @@ def knn_pallas(
 
 def use_knn_kernel(n: int, k: int) -> bool:
     """Kernel is profitable on TPU for the DGCNN-style regimes."""
-    from pointcloudattack_tpu.ops.backend import is_tpu_backend
+    from pointcloudattack_tpu.ops.backend import use_mosaic_kernels
 
     if not _HAVE_PLTPU or n > _MAX_N or k > 64 or k >= n:
         return False
-    return is_tpu_backend()
+    return use_mosaic_kernels()

@@ -29,24 +29,62 @@ def run_sharded_attack(
     target: np.ndarray,
     key: jax.Array,
     mesh=None,
+    use_shard_map: bool | None = None,
 ):
     """Run a compiled attack over a mesh-sharded batch.
 
     attack_fn: (data, target, key) -> pytree of per-example results
-      (built by any build_*_attack; already jitted).
+      (built by any build_*_attack; already jitted; every output leaf
+      is batch-leading).
     data/target: host arrays [B, N, 3] / [B]; B is padded to a multiple
       of the mesh size with edge replication and results are sliced back.
 
-    With in/out shardings attached to the arguments, XLA partitions the
-    jitted attack across the mesh automatically — each chip optimizes its
-    shard of the batch, no code changes to the attack itself.
+    Partitioning strategy (``use_shard_map=None`` auto-selects):
+      * single device or CPU mesh: GSPMD — in/out shardings on the
+        arguments, XLA partitions the jitted attack; per-example results
+        are BIT-IDENTICAL to an unsharded run (test_parallel.py).
+      * multi-device TPU: shard_map — Mosaic (Pallas) kernels cannot be
+        auto-partitioned by GSPMD (jax raises; jax/_src/
+        tpu_custom_call.py), so each chip traces the attack on its own
+        shard under ops.backend.manual_sharding_scope, which keeps the
+        fused kernels enabled.  The PRNG key is fold_in'd with the
+        shard index, so stochastic init noise differs from the
+        single-device stream (statistical, not bitwise, parity — the
+        reference's own seeding guarantees no more, SURVEY §7).
     """
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     (data_p, target_p), true_n = pad_to_multiple([data, target], n_dev)
     d, t = shard_batch(mesh, jnp.asarray(data_p), jnp.asarray(target_p))
-    with mesh:
-        out = attack_fn(d, t, key)
+
+    if use_shard_map is None:
+        from pointcloudattack_tpu.ops.backend import is_tpu_backend
+
+        use_shard_map = n_dev > 1 and is_tpu_backend()
+
+    if use_shard_map:
+        from jax.sharding import PartitionSpec as P
+
+        from pointcloudattack_tpu.ops.backend import manual_sharding_scope
+
+        def per_shard(ds, ts, k):
+            k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+            return attack_fn(ds, ts, k)
+
+        # check_vma off: attack scan carries start from unvarying
+        # constants (best trackers) and become shard-varying
+        fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P()),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        with mesh, manual_sharding_scope():
+            out = fn(d, t, key)
+    else:
+        with mesh:
+            out = attack_fn(d, t, key)
     return jax.tree_util.tree_map(
         lambda a: np.asarray(a)[:true_n] if a.ndim >= 1 else np.asarray(a),
         out,
@@ -85,7 +123,11 @@ def sharded_accuracy(
     mesh=None,
     batch_size: int = 256,
 ):
-    """Mesh-sharded accuracy evaluation (reference test.py:180-195)."""
+    """Mesh-sharded accuracy evaluation (reference test.py:180-195).
+
+    Multi-device TPU meshes evaluate per shard via shard_map (same
+    Mosaic-partitioning constraint as :func:`run_sharded_attack`).
+    """
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
 
@@ -93,14 +135,36 @@ def sharded_accuracy(
     def correct_fn(x, y):
         return (jnp.argmax(model_fn(x), axis=-1) == y).astype(jnp.int32)
 
+    from pointcloudattack_tpu.ops.backend import (
+        is_tpu_backend,
+        manual_sharding_scope,
+    )
+
+    if n_dev > 1 and is_tpu_backend():
+        from jax.sharding import PartitionSpec as P
+
+        run = jax.shard_map(
+            correct_fn, mesh=mesh,
+            in_specs=(P("data"), P("data")), out_specs=P("data"),
+            check_vma=False,
+        )
+        scope = manual_sharding_scope
+    else:
+        run = correct_fn
+        scope = None
+
     total, count = 0, 0
     for i in range(0, len(labels), batch_size):
         chunk = data[i : i + batch_size]
         lab = labels[i : i + batch_size]
         (cp, lp), true_n = pad_to_multiple([chunk, lab], n_dev)
         x, y = shard_batch(mesh, jnp.asarray(cp), jnp.asarray(lp))
-        with mesh:
-            c = correct_fn(x, y)
+        if scope is not None:
+            with mesh, scope():
+                c = run(x, y)
+        else:
+            with mesh:
+                c = run(x, y)
         total += int(np.asarray(c)[:true_n].sum())
         count += true_n
     return total / max(count, 1)

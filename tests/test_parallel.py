@@ -329,3 +329,44 @@ def test_cli_attack_sharded_matches_single_device(tmp_path, monkeypatch,
     )
     # partitioned matmuls can flip the last float ulp -> one %.6f digit
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_shard_map_path_semantic_parity(trained_pointnet):
+    """The multi-device-TPU path (shard_map + per-shard key fold-in),
+    forced on the CPU mesh: same success flags as single-device, and
+    best distances within init-noise jitter (the 1e-7-scale per-round
+    noise is the only divergence source)."""
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = CWPerturbConfig(binary_step=1, num_iter=30, kappa=0.0, budget=0.45)
+    attack = build_cw_attack(model_fn, cfg)
+
+    data = clouds[:8].astype(np.float32)
+    target = labels[:8].astype(np.int64)
+    key = jax.random.PRNGKey(5)
+
+    res_single = attack(jnp.asarray(data), jnp.asarray(target), key)
+    res_sm = run_sharded_attack(
+        attack, data, target, key, use_shard_map=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_single.success), res_sm.success
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_single.best_dist), res_sm.best_dist,
+        rtol=5e-2, atol=1e-3,
+    )
+
+
+def test_manual_scope_gates_mosaic_dispatch(monkeypatch):
+    """use_mosaic_kernels: off in a multi-device process outside
+    shard_map (GSPMD would raise on Mosaic custom calls), on inside
+    manual_sharding_scope."""
+    from pointcloudattack_tpu.ops import backend
+
+    monkeypatch.setattr(backend, "is_tpu_backend", lambda: True)
+    assert jax.device_count() > 1  # the 8-device CPU test mesh
+    assert not backend.use_mosaic_kernels()
+    with backend.manual_sharding_scope():
+        assert backend.use_mosaic_kernels()
+    assert not backend.use_mosaic_kernels()
