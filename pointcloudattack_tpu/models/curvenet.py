@@ -112,6 +112,49 @@ class LPFA(nn.Module):
             )(pf)
             h = nn.leaky_relu(diff + pf, negative_slope=0.2)
 
+        # fused chain + pool over k (Pallas, eval on TPU): the
+        # [B, N, k, out_channel] MLP maps stay VMEM-resident.  The
+        # initial block max-pools (LeakyReLU commutes, applied after);
+        # the residual blocks MEAN-pool with the activation inside.
+        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+        from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+            mlp_chain_groupmax,
+            mlp_chain_groupmean,
+            use_group_chain_kernel,
+        )
+
+        ip = FUSED_MAXPOOL["interpret"]
+        dims = (h.shape[-1],) + (self.out_channel,) * self.mlp_num
+        if (
+            not train
+            and not self.is_initializing()
+            and FUSED_MAXPOOL["enabled"]
+            and (ip or use_group_chain_kernel(self.k, dims))
+        ):
+            layers = []
+            for i in range(self.mlp_num):
+                pd = self.get_variable("params", f"mlp{i}")
+                st = self.get_variable("batch_stats", f"mlp{i}")
+                w = pd["Dense_0"]["kernel"]
+                mul = jax.lax.rsqrt(
+                    st["BatchNorm_0"]["var"] + 1e-5
+                ) * pd["BatchNorm_0"]["scale"]
+                layers.append((
+                    w, jnp.zeros((w.shape[1],), w.dtype),
+                    st["BatchNorm_0"]["mean"], mul,
+                    pd["BatchNorm_0"]["bias"],
+                ))
+            if self.initial:
+                pooled = mlp_chain_groupmax(
+                    h, tuple(layers), ip, 0.2
+                )
+                return nn.leaky_relu(
+                    pooled, negative_slope=0.2
+                ).astype(h.dtype)
+            return mlp_chain_groupmean(
+                h, tuple(layers), ip, 0.2
+            ).astype(h.dtype)
+
         for i in range(self.mlp_num):
             h = _BNDense(self.out_channel, name=f"mlp{i}")(h, train=train)
 

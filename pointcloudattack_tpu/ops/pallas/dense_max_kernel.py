@@ -235,7 +235,21 @@ def reference_mlp_chain_maxpool(x, layers):
 # ---------------------------------------------------------------------------
 
 
-def _group_fwd_kernel(k: int, num_layers, x_ref, *refs):
+def _act(z, slope: float):
+    """max(z, slope*z): ReLU at slope=0.0, LeakyReLU(slope) otherwise."""
+    if slope == 0.0:
+        return jnp.maximum(z, 0.0)
+    return jnp.maximum(z, slope * z)
+
+
+def _act_bwd(dh, z_pos, slope: float):
+    """Cotangent through _act given the recomputed z>0 mask."""
+    if slope == 0.0:
+        return jnp.where(z_pos, dh, 0.0)
+    return jnp.where(z_pos, dh, slope * dh)
+
+
+def _group_fwd_kernel(k: int, num_layers, slope, x_ref, *refs):
     """Grid (B, ng): x [1, GPB*K, C0]; outputs (y, idx) [1, GPB, C_L].
 
     Per-segment max/argmax via STATIC slices (gpb is small and static),
@@ -247,7 +261,7 @@ def _group_fwd_kernel(k: int, num_layers, x_ref, *refs):
         w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
         z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
         if layer < num_layers - 1:
-            h = jnp.maximum(z, 0.0)
+            h = _act(z, slope)
     gpb = y_ref.shape[1]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (k, z.shape[-1]), 0)
     for gi in range(gpb):
@@ -260,7 +274,7 @@ def _group_fwd_kernel(k: int, num_layers, x_ref, *refs):
         idx_ref[0, gi] = idx.astype(jnp.int32)
 
 
-def _group_bwd_kernel(k: int, num_layers, x_ref, *refs):
+def _group_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
     """Grid (B, ng): recompute the chain, expand the per-segment argmax
     cotangent, back-propagate to dx [1, GPB*K, C0]."""
     idx_ref, g_ref, dx_ref = refs[-3], refs[-2], refs[-1]
@@ -270,7 +284,7 @@ def _group_bwd_kernel(k: int, num_layers, x_ref, *refs):
         w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
         z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
         masks.append(z > 0.0)
-        h = jnp.maximum(z, 0.0)
+        h = _act(z, slope)
 
     gpb, cout = g_ref.shape[1], g_ref.shape[2]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (k, cout), 0)
@@ -284,7 +298,49 @@ def _group_bwd_kernel(k: int, num_layers, x_ref, *refs):
         dh = _dot_bf16(c, w[...], trans_b=True)
         if layer > 0:
             mul_prev = refs[5 * (layer - 1) + 3]
-            c = jnp.where(masks[layer - 1], dh, 0.0) * mul_prev[...]
+            c = _act_bwd(dh, masks[layer - 1], slope) * mul_prev[...]
+    dx_ref[0] = dh.astype(dx_ref.dtype)
+
+
+def _group_mean_fwd_kernel(k: int, num_layers, slope, x_ref, *refs):
+    """Mean-pool variant: activation applies to EVERY layer (the mean
+    does not commute with it), y [1, GPB, C_L] = per-segment mean."""
+    y_ref = refs[-1]
+    h = x_ref[0].astype(jnp.float32)
+    for layer in range(num_layers):
+        w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
+        h = _act(_epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta), slope)
+    gpb = y_ref.shape[1]
+    inv_k = 1.0 / k
+    for gi in range(gpb):
+        y_ref[0, gi] = jnp.sum(h[gi * k : (gi + 1) * k], axis=0) * inv_k
+
+
+def _group_mean_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
+    """Mean-pool backward: dense cotangent dy/k broadcast to each row,
+    through every layer's activation mask."""
+    g_ref, dx_ref = refs[-2], refs[-1]
+    h = x_ref[0].astype(jnp.float32)
+    masks = []
+    for layer in range(num_layers):
+        w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
+        z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
+        masks.append(z > 0.0)
+        h = _act(z, slope)
+
+    gpb, cout = g_ref.shape[1], g_ref.shape[2]
+    # g = dy * mul_L / k, broadcast to every row of its segment
+    segs = [
+        jnp.broadcast_to(g_ref[0, gi][None, :], (k, cout))
+        for gi in range(gpb)
+    ]
+    c = _act_bwd(jnp.concatenate(segs, axis=0), masks[-1], slope)
+    for layer in range(num_layers - 1, -1, -1):
+        w = refs[5 * layer]
+        dh = _dot_bf16(c, w[...], trans_b=True)
+        if layer > 0:
+            mul_prev = refs[5 * (layer - 1) + 3]
+            c = _act_bwd(dh, masks[layer - 1], slope) * mul_prev[...]
     dx_ref[0] = dh.astype(dx_ref.dtype)
 
 
@@ -308,8 +364,8 @@ def _groups_per_block(k: int, g: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _group_fwd_pallas(x, layers, interpret=False):
+@functools.partial(jax.jit, static_argnames=("slope", "interpret"))
+def _group_fwd_pallas(x, layers, slope=0.0, interpret=False):
     bsz, g, k, c0 = x.shape
     cout = layers[-1][0].shape[1]
     gpb = _groups_per_block(k, g)
@@ -318,7 +374,7 @@ def _group_fwd_pallas(x, layers, interpret=False):
     xr = xp.reshape(bsz, ng * gpb * k, c0)
     pspecs, pargs = _layer_specs(layers)
     y, idx = pl.pallas_call(
-        functools.partial(_group_fwd_kernel, k, len(layers)),
+        functools.partial(_group_fwd_kernel, k, len(layers), slope),
         grid=(bsz, ng),
         in_specs=[
             pl.BlockSpec((1, gpb * k, c0), lambda i, j: (i, j, 0)),
@@ -337,8 +393,35 @@ def _group_fwd_pallas(x, layers, interpret=False):
     return y[:, :g], idx[:, :g]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _group_bwd_pallas(x, layers, idx, gcot, interpret=False):
+@functools.partial(jax.jit, static_argnames=("slope", "interpret"))
+def _group_mean_fwd_pallas(x, layers, slope=0.0, interpret=False):
+    bsz, g, k, c0 = x.shape
+    cout = layers[-1][0].shape[1]
+    gpb = _groups_per_block(k, g)
+    xp = _pad_groups(x, gpb)
+    ng = xp.shape[1] // gpb
+    xr = xp.reshape(bsz, ng * gpb * k, c0)
+    pspecs, pargs = _layer_specs(layers)
+    y = pl.pallas_call(
+        functools.partial(_group_mean_fwd_kernel, k, len(layers), slope),
+        grid=(bsz, ng),
+        in_specs=[
+            pl.BlockSpec((1, gpb * k, c0), lambda i, j: (i, j, 0)),
+            *pspecs,
+        ],
+        out_specs=pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.float32),
+        interpret=interpret,
+    )(xr, *pargs)
+    return y[:, :g]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slope", "mean_pool", "interpret")
+)
+def _group_bwd_pallas(
+    x, layers, idx, gcot, slope=0.0, mean_pool=False, interpret=False
+):
     bsz, g, k, c0 = x.shape
     cout = gcot.shape[-1]
     gpb = _groups_per_block(k, g)
@@ -347,45 +430,69 @@ def _group_bwd_pallas(x, layers, idx, gcot, interpret=False):
     xr = xp.reshape(bsz, ng * gpb * k, c0)
     pad = ng * gpb - g
     if pad:
-        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
         gcot = jnp.pad(gcot, ((0, 0), (0, pad), (0, 0)))
+        if idx is not None:
+            idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
     pspecs, pargs = _layer_specs(layers)
+    if mean_pool:
+        kern = functools.partial(
+            _group_mean_bwd_kernel, k, len(layers), slope
+        )
+        tail_specs = [pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0))]
+        tail_args = [gcot.astype(jnp.float32)]
+    else:
+        kern = functools.partial(_group_bwd_kernel, k, len(layers), slope)
+        tail_specs = [
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+        ]
+        tail_args = [idx, gcot.astype(jnp.float32)]
     dx = pl.pallas_call(
-        functools.partial(_group_bwd_kernel, k, len(layers)),
+        kern,
         grid=(bsz, ng),
         in_specs=[
             pl.BlockSpec((1, gpb * k, c0), lambda i, j: (i, j, 0)),
             *pspecs,
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            *tail_specs,
         ],
         out_specs=pl.BlockSpec(
             (1, gpb * k, c0), lambda i, j: (i, j, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, ng * gpb * k, c0), x.dtype),
         interpret=interpret,
-    )(xr, *pargs, idx, gcot.astype(jnp.float32))
+    )(xr, *pargs, *tail_args)
     return dx.reshape(bsz, ng * gpb, k, c0)[:, :g]
 
 
-def reference_mlp_chain_groupmax(x, layers):
+def reference_mlp_chain_groupmax(x, layers, slope: float = 0.0):
     """Unfused oracle: chain over [B, G, K, C], max over K."""
     h = x.astype(jnp.float32)
     for layer_i, (w, b, mean, mul, beta) in enumerate(layers):
         f = lambda a: a.astype(jnp.float32)
         z = (h @ f(w) + f(b) - f(mean)) * f(mul) + f(beta)
-        h = jnp.maximum(z, 0.0) if layer_i < len(layers) - 1 else z
+        h = _act(z, slope) if layer_i < len(layers) - 1 else z
     return jnp.max(h, axis=2)
 
 
-def _make_group_op(interpret: bool):
+def reference_mlp_chain_groupmean(x, layers, slope: float = 0.0):
+    """Unfused oracle: chain (EVERY layer activated), mean over K."""
+    h = x.astype(jnp.float32)
+    for w, b, mean, mul, beta in layers:
+        f = lambda a: a.astype(jnp.float32)
+        h = _act((h @ f(w) + f(b) - f(mean)) * f(mul) + f(beta), slope)
+    return jnp.mean(h, axis=2)
+
+
+def _make_group_op(interpret: bool, slope: float):
     @jax.custom_vjp
     def op(x, layers):
-        y, _ = _group_fwd_pallas(x, layers, interpret=interpret)
+        y, _ = _group_fwd_pallas(x, layers, slope=slope, interpret=interpret)
         return y
 
     def fwd(x, layers):
-        y, idx = _group_fwd_pallas(x, layers, interpret=interpret)
+        y, idx = _group_fwd_pallas(
+            x, layers, slope=slope, interpret=interpret
+        )
         return y, (x, layers, idx)
 
     def bwd(res, dy):
@@ -393,9 +500,11 @@ def _make_group_op(interpret: bool):
         dy = dy.astype(jnp.float32)
         mul_last = layers[-1][3].astype(jnp.float32)
         g = dy * mul_last[None, None, :]
-        dx = _group_bwd_pallas(x, layers, idx, g, interpret=interpret)
+        dx = _group_bwd_pallas(
+            x, layers, idx, g, slope=slope, interpret=interpret
+        )
         _, ref_vjp = jax.vjp(
-            lambda ls: reference_mlp_chain_groupmax(x, ls), layers
+            lambda ls: reference_mlp_chain_groupmax(x, ls, slope), layers
         )
         (dlayers,) = ref_vjp(dy)
         dlayers = jax.tree_util.tree_map(
@@ -407,20 +516,72 @@ def _make_group_op(interpret: bool):
     return op
 
 
-def mlp_chain_groupmax(x, layers, interpret=False):
+def _make_group_mean_op(interpret: bool, slope: float):
+    @jax.custom_vjp
+    def op(x, layers):
+        return _group_mean_fwd_pallas(
+            x, layers, slope=slope, interpret=interpret
+        )
+
+    def fwd(x, layers):
+        y = _group_mean_fwd_pallas(
+            x, layers, slope=slope, interpret=interpret
+        )
+        return y, (x, layers)
+
+    def bwd(res, dy):
+        x, layers = res
+        k = x.shape[2]
+        dy = dy.astype(jnp.float32)
+        mul_last = layers[-1][3].astype(jnp.float32)
+        g = dy * mul_last[None, None, :] / k
+        dx = _group_bwd_pallas(
+            x, layers, None, g, slope=slope, mean_pool=True,
+            interpret=interpret,
+        )
+        _, ref_vjp = jax.vjp(
+            lambda ls: reference_mlp_chain_groupmean(x, ls, slope), layers
+        )
+        (dlayers,) = ref_vjp(dy)
+        dlayers = jax.tree_util.tree_map(
+            lambda cot, prim: cot.astype(prim.dtype), dlayers, layers
+        )
+        return dx, dlayers
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def mlp_chain_groupmax(x, layers, interpret=False, slope: float = 0.0):
     """max over the NEIGHBOUR axis of an L-layer per-point chain.
 
     x [B, G, K, C0] -> [B, G, C_L] f32: the PointNet++ set-abstraction
     pattern (shared MLP over grouped neighbours, max over nsample —
     reference model/pointnet2_utils.py:158-199) with no [B, G, K, C]
     layer map ever touching HBM.  ``layers`` as in
-    :func:`mlp_chain_maxpool` (ReLU between layers, none after the
-    last; SA stacks end in ReLU, which commutes with the max and is
-    applied to the pooled output by the caller).
+    :func:`mlp_chain_maxpool`; ``slope`` selects the inter-layer
+    activation (0.0 = ReLU, 0.2 = the LeakyReLU of DGCNN/CurveNet);
+    no activation after the last layer (a trailing monotone activation
+    commutes with the max and is applied to the pooled output by the
+    caller).
     """
-    key = ("group", bool(interpret))
+    key = ("group", bool(interpret), float(slope))
     if key not in _OP_CACHE:
-        _OP_CACHE[key] = _make_group_op(bool(interpret))
+        _OP_CACHE[key] = _make_group_op(bool(interpret), float(slope))
+    return _OP_CACHE[key](x, tuple(tuple(l) for l in layers))
+
+
+def mlp_chain_groupmean(x, layers, interpret=False, slope: float = 0.0):
+    """mean over the NEIGHBOUR axis of an L-layer per-point chain.
+
+    Like :func:`mlp_chain_groupmax` but every layer IS activated (mean
+    does not commute with the activation) and the pool is the segment
+    mean — CurveNet's LPFA aggregation (reference
+    curvenet_util.py:175-236, mean over k after LeakyReLU convs).
+    """
+    key = ("groupmean", bool(interpret), float(slope))
+    if key not in _OP_CACHE:
+        _OP_CACHE[key] = _make_group_mean_op(bool(interpret), float(slope))
     return _OP_CACHE[key](x, tuple(tuple(l) for l in layers))
 
 

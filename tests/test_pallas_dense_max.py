@@ -532,3 +532,89 @@ def test_punet_fused_sa_matches_standard(monkeypatch):
         / max(np.linalg.norm(gf) * np.linalg.norm(gs), 1e-12)
     )
     assert cos > 0.97, f"input-grad cosine {cos}"
+
+
+def test_groupmean_forward_and_grad_matches_oracle():
+    """Mean-pool grouped chain (CurveNet LPFA pattern, leaky slope)."""
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        mlp_chain_groupmean,
+        reference_mlp_chain_groupmean,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(70), (2, 16, 20, 6))
+    layers = _chain_layers(jax.random.PRNGKey(71), (6, 64, 64))
+    got = mlp_chain_groupmean(x, layers, True, 0.2)
+    want = reference_mlp_chain_groupmean(x, layers, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
+    )
+    gk = jax.grad(
+        lambda a: jnp.sum(mlp_chain_groupmean(a, layers, True, 0.2) ** 2)
+    )(x)
+    go = jax.grad(
+        lambda a: jnp.sum(
+            reference_mlp_chain_groupmean(a, layers, 0.2) ** 2
+        )
+    )(x)
+    ak, ao = np.asarray(gk, np.float64), np.asarray(go, np.float64)
+    err = np.linalg.norm(ak - ao) / max(np.linalg.norm(ao), 1e-9)
+    assert err < 5e-2, f"rel frobenius err {err}"
+
+
+def test_curvenet_lpfa_fused_matches_standard(monkeypatch):
+    """LPFA modules (initial max / residual mean) fused vs standard."""
+    from pointcloudattack_tpu.models.curvenet import LPFA
+
+    xyz = jax.random.normal(jax.random.PRNGKey(80), (2, 64, 3)) * 0.5
+    feat = jax.random.normal(jax.random.PRNGKey(81), (2, 64, 64)) * 0.5
+
+    for initial in (True, False):
+        m = LPFA(64, k=12, mlp_num=2, initial=initial)
+        args = (None, xyz) if initial else (feat, xyz)
+        v = m.init(jax.random.PRNGKey(82), *args)
+
+        std = m.apply(v, *args, train=False)
+        g_std = jax.grad(
+            lambda a: m.apply(
+                v, *((None, a) if initial else (feat, a)), train=False
+            )[:, :, 0].sum()
+        )(xyz)
+        monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", True)
+        fused = m.apply(v, *args, train=False)
+        g_fused = jax.grad(
+            lambda a: m.apply(
+                v, *((None, a) if initial else (feat, a)), train=False
+            )[:, :, 0].sum()
+        )(xyz)
+        monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", False)
+
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(std), rtol=2e-2, atol=2e-2,
+            err_msg=f"initial={initial}",
+        )
+        gf = np.asarray(g_fused, np.float64)
+        gs = np.asarray(g_std, np.float64)
+        cos = float(
+            (gf * gs).sum()
+            / max(np.linalg.norm(gf) * np.linalg.norm(gs), 1e-12)
+        )
+        assert cos > 0.97, f"initial={initial}: grad cosine {cos}"
+
+
+def test_curvenet_model_fused_parity(monkeypatch):
+    """Whole CurveNet forward with fused LPFA pools vs standard."""
+    from pointcloudattack_tpu import models
+
+    m = models.make_model("CurveNet", 8)
+    v = models.init_model(m, jax.random.PRNGKey(0), num_points=128, batch=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 3)) * 0.5
+    lp_std, _ = m.apply(v, x, train=False)
+    monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", True)
+    lp_fused, _ = m.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(lp_fused), np.asarray(lp_std), atol=0.25
+    )
+    assert (
+        np.asarray(jnp.argmax(lp_fused, -1))
+        == np.asarray(jnp.argmax(lp_std, -1))
+    ).all()
