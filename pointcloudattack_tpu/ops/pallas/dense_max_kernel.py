@@ -90,8 +90,10 @@ def _chain_fwd_kernel(n, num_layers, x_ref, *refs):
     z = jnp.where(rows < n, z, _NEG)  # mask pad rows
 
     tile_max = jnp.max(z, axis=0, keepdims=True)  # [1, C_L]
-    tile_arg = (
-        jnp.argmax(z, axis=0).astype(jnp.int32)[None, :] + j * t
+    # first row attaining the max (jnp.argmax tie order) via min-iota —
+    # reduction-only, the same lowering-safe idiom as the knn kernel
+    tile_arg = jnp.min(
+        jnp.where(z == tile_max, rows, n + t), axis=0, keepdims=True
     )
 
     @pl.when(j == 0)
@@ -264,14 +266,18 @@ def _group_fwd_kernel(k: int, num_layers, slope, x_ref, *refs):
             h = _act(z, slope)
     gpb = y_ref.shape[1]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (k, z.shape[-1]), 0)
+    ms, idxs = [], []
     for gi in range(gpb):
         seg = z[gi * k : (gi + 1) * k]  # [K, C_L]
-        m = jnp.max(seg, axis=0)  # [C_L]
+        m = jnp.max(seg, axis=0, keepdims=True)  # [1, C_L]
         # first index attaining the max (jnp.argmax tie order) via
         # min-iota — the same reduction-only idiom as the knn kernel
-        idx = jnp.min(jnp.where(seg == m[None, :], kiota, k), axis=0)
-        y_ref[0, gi] = m
-        idx_ref[0, gi] = idx.astype(jnp.int32)
+        idxs.append(
+            jnp.min(jnp.where(seg == m, kiota, k), axis=0, keepdims=True)
+        )
+        ms.append(m)
+    y_ref[0] = jnp.concatenate(ms, axis=0)  # [GPB, C_L]
+    idx_ref[0] = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
 
 
 def _group_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
@@ -312,8 +318,13 @@ def _group_mean_fwd_kernel(k: int, num_layers, slope, x_ref, *refs):
         h = _act(_epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta), slope)
     gpb = y_ref.shape[1]
     inv_k = 1.0 / k
-    for gi in range(gpb):
-        y_ref[0, gi] = jnp.sum(h[gi * k : (gi + 1) * k], axis=0) * inv_k
+    y_ref[0] = jnp.concatenate(
+        [
+            jnp.sum(h[gi * k : (gi + 1) * k], axis=0, keepdims=True)
+            for gi in range(gpb)
+        ],
+        axis=0,
+    ) * inv_k  # [GPB, C_L]
 
 
 def _group_mean_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
