@@ -158,6 +158,37 @@ def bench_cw_dgcnn():
     }
 
 
+def bench_cw_ssg():
+    """CW on PointNet++ SSG (FPS + ball query + grouped set-abstraction
+    MLPs — the grouped fused chain+max kernel's showcase), B=16, 100
+    iters."""
+    b, iters = 16, 100
+    clouds, labels = make_synthetic_clouds(8, b // 8, NUM_POINTS, seed=6)
+    data = jnp.asarray(clouds[:b])
+    target = jnp.asarray(labels[:b])
+    model = models.make_model("PointNet++Ssg", NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=2
+    )
+    model_fn = make_model_fn(model, variables)
+    cfg = CWPerturbConfig(
+        binary_step=1, num_iter=iters, kappa=30.0, budget=0.18
+    )
+    attack = build_cw_attack(model_fn, cfg)
+    dt = _time_enqueued(
+        lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
+        lambda res: res.best_dist,
+        reps=2,
+    )
+    return {
+        "clouds_per_sec": round(b / dt, 3),
+        "sec_per_batch": round(dt, 4),
+        "mfu": _mfu(
+            attack, dt, data, target, jax.random.PRNGKey(0), iters=iters
+        ),
+    }
+
+
 def bench_aof():
     from pointcloudattack_tpu.attacks.aof import AOFConfig, build_aof_attack
 
@@ -300,6 +331,7 @@ def main():
     for name, fn in (
         ("cw_bf16", lambda: bench_cw(jnp.bfloat16)),
         ("cw_dgcnn", bench_cw_dgcnn),
+        ("cw_ssg", bench_cw_ssg),
         ("knn", bench_knn),
         ("knn_r5", lambda: bench_knn(nn_refresh=5)),
         ("geoa3", bench_geoa3),
