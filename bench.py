@@ -324,9 +324,32 @@ def bench_si_ifgm(normal_refresh: int = 1):
     }
 
 
+def _run_family(fn):
+    """Run one family; if it fails while the fused chain+pool Pallas
+    kernels are enabled, disable them for the REST of the process (the
+    failure would repeat in every family) and retry once on the XLA
+    path.  Insurance for Mosaic shape rejections that only surface on
+    real TPU hardware — the dispatch gates
+    (dense_max_kernel.use_chain_kernel/use_group_chain_kernel) are
+    interpret-mode tested but hardware acceptance is per-shape."""
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    try:
+        return fn()
+    except Exception as e:
+        if not FUSED_MAXPOOL["enabled"]:
+            raise
+        FUSED_MAXPOOL["enabled"] = False
+        out = fn()
+        out["fused_maxpool_disabled_after"] = str(e)[:160]
+        return out
+
+
 def main():
     _wait_for_backend()
-    cw = bench_cw()
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    cw = _run_family(bench_cw)
     families = {"cw": cw}
     for name, fn in (
         ("cw_bf16", lambda: bench_cw(jnp.bfloat16)),
@@ -341,7 +364,7 @@ def main():
         ("si_ifgm_r5", lambda: bench_si_ifgm(normal_refresh=5)),
     ):
         try:
-            families[name] = fn()
+            families[name] = _run_family(fn)
         except Exception as e:  # keep the headline alive on any breakage
             families[name] = {"error": str(e)[:200]}
 
@@ -360,6 +383,7 @@ def main():
                 # overcounted — mfu is an UPPER bound, loosest for
                 # loop-light families (aof, si_ifgm)
                 "mfu_method": "scan_body_flops_x_iters_upper_bound",
+                "fused_maxpool": FUSED_MAXPOOL["enabled"],
                 "families": families,
             }
         )

@@ -36,6 +36,18 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     """
     if os.environ.get("PCA_COMPILE_CACHE", "1") in ("0", "false", "no"):
         return None
+
+    import jax
+
+    # The cache exists to beat the axon TPU tunnel's minutes-long remote
+    # compiles; CPU compiles are fast, and XLA:CPU AOT cache entries are
+    # NOT portable across hosts (replaying one compiled on a machine
+    # with different vector features warns "could lead to ... SIGILL").
+    # Skip when the caller pinned the CPU backend (--platform cpu /
+    # jax.config jax_platforms), which is exactly the cross-host case.
+    platforms = getattr(jax.config, "jax_platforms", None) or ""
+    if platforms.split(",")[0].strip().lower() == "cpu":
+        return None
     cache_dir = (
         path
         or os.environ.get("PCA_COMPILE_CACHE_DIR")
@@ -44,8 +56,6 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         )
     )
     os.makedirs(cache_dir, exist_ok=True)
-
-    import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # default threshold (1 s) skips small kernels; 0.5 s measured best on
