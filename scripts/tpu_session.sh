@@ -1,0 +1,26 @@
+#!/bin/bash
+# One-shot TPU measurement session for the round-3 fused-kernel work.
+#
+# Run when the axon tunnel is up.  Produces, in order:
+#   /tmp/fused_ab.json   - scripts/bench_fused_maxpool.py A/B (CW headline,
+#                          fused chain+pool ON vs OFF, f32 + bf16)
+#   /tmp/bench_full.json - python bench.py (all families, one JSON line)
+# Each step is independently resumable; pass step names to run a subset:
+#   scripts/tpu_session.sh fused bench
+set -u
+cd "$(dirname "$0")/.."
+steps="${*:-fused bench}"
+
+for s in $steps; do
+  case "$s" in
+    fused)
+      echo "== fused A/B ==" >&2
+      timeout 3000 python scripts/bench_fused_maxpool.py | tee /tmp/fused_ab.json
+      ;;
+    bench)
+      echo "== bench.py ==" >&2
+      timeout 3600 python bench.py | tee /tmp/bench_full.json
+      ;;
+    *) echo "unknown step: $s" >&2 ;;
+  esac
+done
