@@ -629,6 +629,129 @@ def _run_family(
     return adv, success
 
 
+def _chunk_fingerprint(args, cfg, family, n) -> str:
+    """Config fingerprint stored in every chunk file: --resume refuses
+    to splice results produced under different attack settings."""
+    keyfields = {
+        "family": family, "model": cfg.model, "seed": cfg.seed,
+        "n": n, "attack_batch": args.attack_batch,
+        "attack_method": args.attack_method,
+        "binary_step": args.binary_step, "num_iter": args.num_iter,
+        "kappa": args.kappa, "budget": args.budget,
+        "attack_lr": args.attack_lr, "defense": args.defense,
+        "compute_dtype": args.compute_dtype,
+        "num_points": cfg.num_points,
+    }
+    return json.dumps(keyfields, sort_keys=True)
+
+
+def _run_family_chunked(
+    args, cfg, family, model_fn, data, target, labels, true_labels,
+    targeted, key, num_classes, clouds,
+):
+    """Fixed-shape chunked attack sweep: streaming artifacts + resume.
+
+    Production-scale sweeps can't run as one monolithic device batch
+    (the unfused backward of a [B, N, 1024] victim map exhausts HBM long
+    before the reference's ~6k-cloud datasets are covered, and a crash
+    at sample 5,000 loses everything).  ``--attack_batch B`` instead:
+
+      * splits the sample set into B-sized chunks, edge-padding the last
+        one so EVERY chunk presents the same [B, N, 3] shape — one
+        compiled executable serves the whole sweep (on the axon tunnel
+        each distinct executable costs a 60-130 s first-execution server
+        load; fixed shapes pay it once);
+      * shards each chunk over the device mesh when >1 device is up
+        (same pad/shard contract as the unchunked path);
+      * writes each chunk's (adv, success) to
+        ``<output_dir>/attack_chunks/<family>_<i>.npz`` as it completes,
+        with a config fingerprint;
+      * with ``--resume`` skips chunks whose file already exists and
+        matches the fingerprint — a killed sweep restarts where it died.
+
+    Per-chunk RNG is ``fold_in(key, 1000 + chunk)``: chunking changes
+    random draws vs the single-batch path (statistical, not bitwise,
+    parity — the same contract as mesh padding, documented above).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudattack_tpu.parallel.mesh import make_mesh, shard_batch
+
+    data_np = np.asarray(data)
+    tgt_np = np.asarray(target)
+    lab_np = np.asarray(labels)
+    tl_np = np.asarray(true_labels)
+    clouds_np = np.asarray(clouds)
+    n = len(lab_np)
+    bs = min(args.attack_batch, n)
+    mesh = None
+    if jax.device_count() > 1 and bs >= jax.device_count():
+        mesh = make_mesh()
+        bs -= bs % mesh.devices.size  # keep chunks mesh-divisible
+        print(
+            f"sharding each {bs}-chunk over {mesh.devices.size} devices"
+        )
+    nchunks = (n + bs - 1) // bs
+    chunk_dir = os.path.join(cfg.output_dir, "attack_chunks")
+    os.makedirs(chunk_dir, exist_ok=True)
+    fingerprint = _chunk_fingerprint(args, cfg, family, n)
+
+    adv_parts, succ_parts = [], []
+    for ci in range(nchunks):
+        path = os.path.join(chunk_dir, f"{family}_{ci:05d}.npz")
+        lo = ci * bs
+        hi = min(lo + bs, n)
+        m = hi - lo
+        if args.resume and os.path.exists(path):
+            z = np.load(path, allow_pickle=False)
+            if (
+                "fingerprint" in z.files
+                and str(z["fingerprint"]) == fingerprint
+                and z["adv"].shape[0] == m
+            ):
+                adv_parts.append(z["adv"])
+                succ_parts.append(z["success"])
+                print(f"chunk {ci + 1}/{nchunks}: resumed from {path}")
+                continue
+            print(
+                f"chunk {ci + 1}/{nchunks}: stale chunk file "
+                f"(config changed) — re-running"
+            )
+        sel = np.arange(lo, hi)
+        if m < bs:  # edge-replicate: keeps the compiled shape fixed
+            sel = np.concatenate([sel, np.full(bs - m, hi - 1)])
+        d = jnp.asarray(data_np[sel])
+        t = jnp.asarray(tgt_np[sel])
+        ck = jax.random.fold_in(key, 1000 + ci)
+        if mesh is not None:
+            d, t = shard_batch(mesh, d, t)
+            with mesh:
+                adv_c, succ_c = _run_family(
+                    args, cfg, family, model_fn, d, t, lab_np[sel],
+                    tl_np[sel], targeted, ck, num_classes,
+                    clouds_np[sel[:m]],
+                )
+        else:
+            adv_c, succ_c = _run_family(
+                args, cfg, family, model_fn, d, t, lab_np[sel],
+                tl_np[sel], targeted, ck, num_classes, clouds_np[sel[:m]],
+            )
+        adv_c = np.asarray(adv_c)[:m]
+        succ_c = np.asarray(succ_c)[:m]
+        np.savez(
+            path, adv=adv_c, success=succ_c, fingerprint=fingerprint
+        )
+        adv_parts.append(adv_c)
+        succ_parts.append(succ_c)
+        print(
+            f"chunk {ci + 1}/{nchunks}: ASR "
+            f"{float(succ_c.mean()):.3f} -> {path}",
+            flush=True,
+        )
+    return np.concatenate(adv_parts), np.concatenate(succ_parts)
+
+
 def cmd_attack(args):
     import jax
     import jax.numpy as jnp
@@ -740,9 +863,15 @@ def cmd_attack(args):
     # because the CLI also carries labels/true_labels through the
     # pad-and-slice contract and dispatches per family inside the mesh.
     true_n = len(labels)
+    use_chunks = args.attack_batch > 0 and family != "iso"
+    if args.attack_batch > 0 and family == "iso":
+        # the ISO runner is already a per-sample host loop with its own
+        # whole-set CSV log; chunking would only fragment the log
+        raise SystemExit("--attack_batch does not apply to the iso family")
     mesh = None
     if (
-        jax.device_count() > 1
+        not use_chunks
+        and jax.device_count() > 1
         and family != "iso"
         and true_n >= jax.device_count()
     ):
@@ -770,7 +899,12 @@ def cmd_attack(args):
     profile_ctx.__enter__()
     t0 = time.time()
     try:
-        if mesh is not None:
+        if use_chunks:
+            adv, success = _run_family_chunked(
+                args, cfg, family, model_fn, data, target, labels,
+                true_labels, targeted, key, num_classes, clouds,
+            )
+        elif mesh is not None:
             with mesh:
                 adv, success = _run_family(
                     args, cfg, family, model_fn, data, target, labels,
@@ -1042,6 +1176,17 @@ def build_parser():
                    help="checkpoint for --surrogate_model")
     p.add_argument("--num_samples", type=int, default=0,
                    help="0 = whole dataset")
+    p.add_argument("--attack_batch", type=int, default=0,
+                   help="run the sweep in fixed-shape chunks of this "
+                        "many clouds (0 = one batch): constant device "
+                        "memory, one compiled executable for every "
+                        "chunk, per-chunk result files in "
+                        "<output_dir>/attack_chunks/")
+    p.add_argument("--resume", action="store_true",
+                   help="with --attack_batch: skip chunks whose result "
+                        "file already exists with a matching config "
+                        "fingerprint (restart a killed sweep where it "
+                        "died)")
     p.add_argument("--cta_target_mode", default="untarget")
     p.add_argument("--cta_penalize_dis", default="none",
                    choices=["none", "chamfer", "hausdorff"],

@@ -487,3 +487,51 @@ def test_platform_flag(trained_run):
     assert acc == 1.0
     with pytest.raises(SystemExit):
         main(["test", "--platform", "mps"])
+
+
+def test_attack_cw_chunked_and_resume(trained_run, tmp_path, capsys):
+    """--attack_batch runs the sweep in fixed-shape chunks (last chunk
+    edge-padded) with per-chunk result files; --resume replays finished
+    chunks from disk and a config change invalidates them."""
+    out = str(tmp_path / "chunked")
+    _, ckpt = trained_run
+    argv = [
+        "attack", "cw", "--dataset", "synthetic", "--model", "PointNet",
+        "--num_points", "64", "--num_classes", "3",
+        "--checkpoint", ckpt, "--output_dir", out,
+        "--binary_step", "2", "--num_iter", "50", "--kappa", "0",
+        "--budget", "0.45", "--num_samples", "6", "--attack_batch", "4",
+    ]
+    asr = main(argv)
+    assert asr >= 0.8
+    chunk_dir = os.path.join(out, "attack_chunks")
+    files = sorted(os.listdir(chunk_dir))
+    assert files == ["cw_00000.npz", "cw_00001.npz"]
+    # the padded final chunk is sliced back to its true size
+    assert np.load(os.path.join(chunk_dir, files[0]))["adv"].shape[0] == 4
+    assert np.load(os.path.join(chunk_dir, files[1]))["adv"].shape[0] == 2
+    summary = json.load(open(os.path.join(out, "attack_cw_summary.json")))
+    assert summary["n"] == 6
+    capsys.readouterr()
+
+    # resume: both chunks replay from disk, same aggregate ASR
+    asr2 = main(argv + ["--resume"])
+    assert asr2 == asr
+    assert capsys.readouterr().out.count("resumed from") == 2
+
+    # config fingerprint: changing an attack knob invalidates the chunks
+    argv_kappa = [a for a in argv]
+    argv_kappa[argv_kappa.index("--kappa") + 1] = "1.0"
+    main(argv_kappa + ["--resume"])
+    assert capsys.readouterr().out.count("stale chunk file") == 2
+
+
+def test_attack_batch_rejected_for_iso(trained_run):
+    out, ckpt = trained_run
+    with pytest.raises(SystemExit, match="attack_batch"):
+        main([
+            "attack", "iso", "--dataset", "synthetic", "--model",
+            "PointNet", "--num_points", "64", "--num_classes", "3",
+            "--checkpoint", ckpt, "--output_dir", out,
+            "--num_samples", "4", "--attack_batch", "2",
+        ])
