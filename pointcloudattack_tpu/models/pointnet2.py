@@ -84,6 +84,16 @@ class SetAbstraction(nn.Module):
     ):
         if self.group_all:
             new_xyz, grouped = sample_and_group_all(xyz, points)
+            # the single "group" is the whole cloud (K > the grouped
+            # kernel's 512-segment limit): squeeze to [B, K, C] and run
+            # as a dense chain, which PointMLP(pool_max) fuses into one
+            # chain+maxpool Pallas pass on TPU.  relu-after-max ==
+            # max-after-relu (monotone), so this is bit-identical to the
+            # grouped path it replaces.
+            pooled = PointMLP(self.mlp, pool_max=True, name="mlp")(
+                grouped[:, 0], train=train
+            )[:, None]
+            return new_xyz, pooled
         else:
             new_xyz, grouped = sample_and_group(
                 self.npoint, self.radius, self.nsample, xyz, points,
