@@ -691,7 +691,10 @@ def use_chain_kernel(n: int, dims: tuple[int, ...]) -> bool:
     cout = dims[-1]
     if cout % 128 or cout < 512 or n < 64 or len(dims) > 5:
         return False
-    if any(d > 512 for d in dims[:-1]):
+    # VMEM budget: x block [_TILE_N, C0] + transient h [_TILE_N, d] +
+    # weights (<= 4 MB below) stay well under the ~16 MB/core VMEM at
+    # d <= 1024 (PointNet++ MSG's SA3 concat input is 643-wide)
+    if any(d > 1024 for d in dims[:-1]):
         return False
     wbytes = sum(a * b * 4 for a, b in zip(dims[:-1], dims[1:]))
     if wbytes > 4 * 1024 * 1024:

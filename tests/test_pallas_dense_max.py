@@ -170,6 +170,18 @@ def test_chain_forward_matches_oracle(n):
     )
 
 
+def test_chain_wide_input_matches_oracle():
+    """643-wide C0 (PointNet++ MSG SA3's concat input — the widest
+    dense-chain dispatch the gate admits)."""
+    x = jax.random.normal(jax.random.PRNGKey(26), (2, 128, 643))
+    layers = _chain_layers(jax.random.PRNGKey(27), (643, 256, 512))
+    got = mlp_chain_maxpool(x, layers, True)
+    want = _bf16_chain_oracle(x, layers)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_chain_input_gradient_matches_oracle():
     """dx through the recompute-chain backward == oracle autodiff."""
     x = jax.random.normal(jax.random.PRNGKey(22), (2, 256, 8))
