@@ -164,6 +164,14 @@ def _surrogate_model_fn(args, cfg, num_classes):
             "--surrogate_model requires --surrogate_checkpoint "
             "(a randomly initialized surrogate gives useless gradients)"
         )
+    # chunked sweeps call this once per chunk; rebuilding would re-port
+    # the checkpoint and re-jit the surrogate forward every chunk
+    memo_key = (
+        "surrogate", args.surrogate_model, args.surrogate_checkpoint,
+        num_classes, cfg.num_points, cfg.seed,
+    )
+    if memo_key in _BUILD_MEMO:
+        return _BUILD_MEMO[memo_key]
     from pointcloudattack_tpu.utils.apply import make_model_fn
 
     s_cfg = dataclasses_replace_model(cfg, args.surrogate_model)
@@ -171,9 +179,13 @@ def _surrogate_model_fn(args, cfg, num_classes):
     s_vars = _restore(
         s_cfg, args.surrogate_model, args.surrogate_checkpoint, s_vars
     )
-    return _normalize_output(
+    fn = _normalize_output(
         make_model_fn(s_model, s_vars), args.surrogate_model
     )
+    if len(_BUILD_MEMO) >= 32:
+        _BUILD_MEMO.pop(next(iter(_BUILD_MEMO)))
+    _BUILD_MEMO[memo_key] = fn
+    return fn
 
 
 def cmd_train(args):
@@ -281,6 +293,27 @@ ATTACK_FAMILIES = (
 )
 
 
+# Chunked sweeps (--attack_batch) call _run_family once per chunk.
+# Memoizing the attack builders on (builder, model_fn, frozen config)
+# returns the SAME jitted callable every chunk, so jax's jit cache turns
+# the per-chunk re-trace + re-lower into a dict hit (the compiled
+# executable itself was already shared via the persistent cache).
+# FIFO-capped: entries pin jitted closures + model variables.
+_BUILD_MEMO: dict = {}
+
+
+def _memo_build(build_fn, *key_args):
+    key = (build_fn, *key_args)
+    try:
+        if key not in _BUILD_MEMO:
+            if len(_BUILD_MEMO) >= 32:
+                _BUILD_MEMO.pop(next(iter(_BUILD_MEMO)))
+            _BUILD_MEMO[key] = build_fn(*key_args)
+        return _BUILD_MEMO[key]
+    except TypeError:  # unhashable key component — build uncached
+        return build_fn(*key_args)
+
+
 def _run_family(
     args, cfg, family, model_fn, data, target, labels, true_labels,
     targeted, key, num_classes, clouds,
@@ -306,7 +339,7 @@ def _run_family(
             kappa=args.kappa, budget=args.budget,
             targeted=targeted, adv_func=args.adv_func,
         )
-        res = build_cw_attack(model_fn, acfg)(data, target, key)
+        res = _memo_build(build_cw_attack, model_fn, acfg)(data, target, key)
         adv, success = res.best_attack, res.success
     elif family == "cw-robust":
         # additional_exp twin (reference attack/additional_exp/CW_attack.py)
@@ -327,8 +360,8 @@ def _run_family(
             transform_eot=bool(args.eot),
             resample=bool(args.resample),
         )
-        adv, _, success = build_robust_cw_attack(
-            model_fn, l2_dist, acfg
+        adv, _, success = _memo_build(
+            build_robust_cw_attack, model_fn, l2_dist, acfg
         )(data, target, key)
     elif family == "geoa3-partial":
         from pointcloudattack_tpu.attacks.geoa3_partial import (
@@ -343,9 +376,9 @@ def _run_family(
             knn_range=args.knn_range, refresh_iters=args.refresh_iters,
             subsample_npoint=args.subsample_npoint,
         )
-        adv, _, success = build_geoa3_partial_attack(model_fn, acfg)(
-            data, target, key
-        )
+        adv, _, success = _memo_build(
+            build_geoa3_partial_attack, model_fn, acfg
+        )(data, target, key)
     elif family == "knn":
         from pointcloudattack_tpu.attacks.knn import (
             KNNAttackConfig,
@@ -357,7 +390,7 @@ def _run_family(
             kappa=args.kappa, budget=args.budget, targeted=targeted,
             adv_func=args.adv_func, nn_refresh=args.nn_refresh,
         )
-        adv, success = build_knn_attack(model_fn, acfg)(data, target, key)
+        adv, success = _memo_build(build_knn_attack, model_fn, acfg)(data, target, key)
     elif family == "geoa3":
         from pointcloudattack_tpu.attacks.geoa3 import (
             GeoA3Config,
@@ -385,7 +418,7 @@ def _run_family(
             use_offset_proj=bool(args.use_offset_proj),
             cc_linf=args.cc_linf,
         )
-        adv, _, success = build_geoa3_attack(model_fn, acfg)(
+        adv, _, success = _memo_build(build_geoa3_attack, model_fn, acfg)(
             data, target, key
         )
     elif family in ("aof", "taof"):
@@ -403,7 +436,7 @@ def _run_family(
         )
         # the targeted TAOF success rule needs the TRUE labels for its
         # lfc_pred != y_truth clause (reference TAOF_attack.py:205-211)
-        adv, best_dist, success = build_aof_attack(model_fn, acfg)(
+        adv, best_dist, success = _memo_build(build_aof_attack, model_fn, acfg)(
             data, target, key,
             jnp.asarray(true_labels) if family == "taof" else None,
         )
@@ -421,7 +454,7 @@ def _run_family(
             top5_attack=bool(args.top5_attack),
         )
         wb_fn = _surrogate_model_fn(args, cfg, num_classes) or model_fn
-        adv, pred, success = build_si_ifgm(wb_fn, model_fn, acfg)(
+        adv, pred, success = _memo_build(build_si_ifgm, wb_fn, model_fn, acfg)(
             data, target
         )
     elif family in ("simba", "simbapp", "si-query"):
@@ -438,18 +471,18 @@ def _run_family(
                     "simba is pure black-box — it takes no surrogate "
                     "(use simbapp or si-query for surrogate gradients)"
                 )
-            adv, pred, success, queries = S.build_simba(model_fn, acfg)(
-                data, target, key
-            )
+            adv, pred, success, queries = _memo_build(
+                S.build_simba, model_fn, acfg
+            )(data, target, key)
         elif family == "simbapp":
             wb_fn = _surrogate_model_fn(args, cfg, num_classes) or model_fn
-            adv, pred, success, queries = S.build_simbapp(
-                wb_fn, model_fn, acfg
+            adv, pred, success, queries = _memo_build(
+                S.build_simbapp, wb_fn, model_fn, acfg
             )(data, target, key)
         else:
             wb_fn = _surrogate_model_fn(args, cfg, num_classes) or model_fn
-            adv, pred, success, queries = S.build_si_query_attack(
-                wb_fn, model_fn, acfg
+            adv, pred, success, queries = _memo_build(
+                S.build_si_query_attack, wb_fn, model_fn, acfg
             )(data, target)
         # slice mesh padding off before averaging — cmd_attack pads the
         # batch with edge-replicated rows when sharding, and those
@@ -471,7 +504,7 @@ def _run_family(
             penalize_dis=args.cta_penalize_dis,
             beta=args.cta_beta,
         )
-        adv, pred, success, steps = build_cta_attack(model_fn, acfg)(
+        adv, pred, success, steps = _memo_build(build_cta_attack, model_fn, acfg)(
             data, target, key
         )
     elif family == "iso":
@@ -601,8 +634,8 @@ def _run_family(
             num_iter=args.num_iter or 500, num_add=args.num_add,
             targeted=targeted, kappa=args.kappa, **kw,
         )
-        adv, added, dist, success = build_add_points_attack(
-            model_fn, acfg
+        adv, added, dist, success = _memo_build(
+            build_add_points_attack, model_fn, acfg
         )(data, target, key)
     elif family == "add-clusters":
         from pointcloudattack_tpu.attacks.gen3dadv import (
@@ -621,8 +654,8 @@ def _run_family(
             kappa=args.kappa, num_add=args.cl_num_add,
             cl_num_p=args.cl_num_p, **kw,
         )
-        adv, added, dist, success = build_add_clusters_attack(
-            model_fn, acfg
+        adv, added, dist, success = _memo_build(
+            build_add_clusters_attack, model_fn, acfg
         )(data, target, key)
     else:
         raise SystemExit(f"unknown attack family {family!r}")
