@@ -314,6 +314,35 @@ def _memo_build(build_fn, *key_args):
         return build_fn(*key_args)
 
 
+def _attack_with_fused_fallback(run):
+    """Run an attack dispatch; if it fails while the fused chain+pool
+    Pallas kernels are enabled, disable them for the rest of the
+    process, drop every cached trace (jit caches and the builder memo
+    hold programs with the kernels baked in), and retry once on the
+    XLA path.  Mirrors bench.py::_run_family and __graft_entry__ —
+    Mosaic kernel-shape acceptance is per-shape and only observable on
+    real TPU hardware; PCA_FUSED_MAXPOOL=0 is the manual kill switch.
+    All chunks of a sweep share one executable, so a rejection fires on
+    the first chunk and the retry re-runs essentially nothing."""
+    import jax
+
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    try:
+        return run()
+    except Exception as e:
+        if not FUSED_MAXPOOL["enabled"]:
+            raise
+        FUSED_MAXPOOL["enabled"] = False
+        _BUILD_MEMO.clear()
+        jax.clear_caches()
+        print(
+            "fused chain+pool kernels disabled after failure; retrying "
+            f"on the XLA path ({str(e)[:120]})"
+        )
+        return run()
+
+
 def _run_family(
     args, cfg, family, model_fn, data, target, labels, true_labels,
     targeted, key, num_classes, clouds,
@@ -933,20 +962,28 @@ def cmd_attack(args):
     t0 = time.time()
     try:
         if use_chunks:
-            adv, success = _run_family_chunked(
-                args, cfg, family, model_fn, data, target, labels,
-                true_labels, targeted, key, num_classes, clouds,
-            )
-        elif mesh is not None:
-            with mesh:
-                adv, success = _run_family(
+            adv, success = _attack_with_fused_fallback(
+                lambda: _run_family_chunked(
                     args, cfg, family, model_fn, data, target, labels,
                     true_labels, targeted, key, num_classes, clouds,
                 )
+            )
+        elif mesh is not None:
+            def _sharded_run():
+                with mesh:
+                    return _run_family(
+                        args, cfg, family, model_fn, data, target,
+                        labels, true_labels, targeted, key, num_classes,
+                        clouds,
+                    )
+
+            adv, success = _attack_with_fused_fallback(_sharded_run)
         else:
-            adv, success = _run_family(
-                args, cfg, family, model_fn, data, target, labels,
-                true_labels, targeted, key, num_classes, clouds,
+            adv, success = _attack_with_fused_fallback(
+                lambda: _run_family(
+                    args, cfg, family, model_fn, data, target, labels,
+                    true_labels, targeted, key, num_classes, clouds,
+                )
             )
     finally:
         dt = time.time() - t0

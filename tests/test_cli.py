@@ -535,3 +535,37 @@ def test_attack_batch_rejected_for_iso(trained_run):
             "--checkpoint", ckpt, "--output_dir", out,
             "--num_samples", "4", "--attack_batch", "2",
         ])
+
+
+def test_fused_fallback_disables_and_retries():
+    """_attack_with_fused_fallback: a failure with the fused kernels
+    enabled flips the process-wide kill switch, clears the builder memo,
+    and retries once on the XLA path (bench.py::_run_family twin)."""
+    from pointcloudattack_tpu.cli.main import (
+        _BUILD_MEMO,
+        _attack_with_fused_fallback,
+    )
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    prior = FUSED_MAXPOOL["enabled"]
+    FUSED_MAXPOOL["enabled"] = True
+    _BUILD_MEMO["sentinel"] = object()
+    calls = []
+
+    def run():
+        calls.append(FUSED_MAXPOOL["enabled"])
+        if FUSED_MAXPOOL["enabled"]:
+            raise RuntimeError("Mosaic failed to lower")
+        return "ok"
+
+    try:
+        assert _attack_with_fused_fallback(run) == "ok"
+        assert calls == [True, False]
+        assert "sentinel" not in _BUILD_MEMO
+        # with the kernels already off, failures propagate unchanged
+        with pytest.raises(RuntimeError, match="plain"):
+            _attack_with_fused_fallback(
+                lambda: (_ for _ in ()).throw(RuntimeError("plain"))
+            )
+    finally:
+        FUSED_MAXPOOL["enabled"] = prior
