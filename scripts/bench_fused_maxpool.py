@@ -6,6 +6,14 @@ OFF (PCA_FUSED_MAXPOOL=0 re-exec), printing clouds/s for both.
 
 Usage:  python scripts/bench_fused_maxpool.py            # both arms
         python scripts/bench_fused_maxpool.py --arm on   # one arm
+        python scripts/bench_fused_maxpool.py --victim ssg  # grouped-SA
+                                                    # A/B (f32 only)
+
+--victim ssg/dgcnn exist to answer the deferred-optimization questions
+in CLAUDE.md: whether the grouped fused chain pays on PointNet++ SA
+(and hence whether in-kernel gather fusion is worth pursuing), and the
+EdgeConv win on DGCNN.  Heavy victims A/B f32 only at B=16 to bound
+axon first-execution cost (each arm is a distinct server executable).
 """
 
 import argparse
@@ -18,7 +26,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_arm() -> dict:
+VICTIMS = {
+    # name -> (model key, batch, iters, dtypes)
+    "pointnet": ("PointNet", 64, 200, ("f32", "bf16")),
+    "ssg": ("PointNet++Ssg", 16, 100, ("f32",)),
+    "dgcnn": ("DGCNN", 16, 100, ("f32",)),
+}
+
+
+def run_arm(victim: str = "pointnet") -> dict:
     from pointcloudattack_tpu.utils.compile_cache import (
         enable_persistent_cache,
     )
@@ -37,17 +53,19 @@ def run_arm() -> dict:
     from pointcloudattack_tpu.data.synthetic import make_synthetic_clouds
     from pointcloudattack_tpu.utils.apply import make_model_fn
 
-    B, N, ITERS = 64, 1024, 200
+    model_key, B, ITERS, dtypes = VICTIMS[victim]
+    N = 1024
     clouds, labels = make_synthetic_clouds(40, 2, N, seed=0)
     data = jnp.asarray(clouds[:B])
     target = jnp.asarray(labels[:B])
-    model = models.make_model("PointNet", 40)
+    model = models.make_model(model_key, 40)
     variables = models.init_model(
         model, jax.random.PRNGKey(0), num_points=N, batch=B
     )
 
     out = {}
-    for tag, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+    for tag in dtypes:
+        dtype = jnp.bfloat16 if tag == "bf16" else None
         model_fn = make_model_fn(model, variables, compute_dtype=dtype)
         attack = build_cw_attack(
             model_fn,
@@ -75,15 +93,17 @@ def run_arm() -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arm", choices=["on", "off"], default=None)
+    ap.add_argument("--victim", choices=sorted(VICTIMS), default="pointnet")
     args = ap.parse_args()
     if args.arm is not None:
-        print(json.dumps({args.arm: run_arm()}))
+        print(json.dumps({args.arm: run_arm(args.victim)}))
         return
-    results = {}
+    results = {"victim": args.victim}
     for arm, env in (("fused_on", "1"), ("fused_off", "0")):
         e = dict(os.environ, PCA_FUSED_MAXPOOL=env)
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--arm", "on"],
+            [sys.executable, os.path.abspath(__file__), "--arm", "on",
+             "--victim", args.victim],
             env=e, capture_output=True, text=True, cwd=REPO,
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("{")]

@@ -21,6 +21,16 @@ for s in $steps; do
       echo "== bench.py ==" >&2
       timeout 3600 python bench.py | tee /tmp/bench_full.json
       ;;
+    ab_ssg)
+      echo "== fused A/B (ssg) ==" >&2
+      timeout 3000 python scripts/bench_fused_maxpool.py --victim ssg \
+        | tee /tmp/fused_ab_ssg.json
+      ;;
+    ab_dgcnn)
+      echo "== fused A/B (dgcnn) ==" >&2
+      timeout 3000 python scripts/bench_fused_maxpool.py --victim dgcnn \
+        | tee /tmp/fused_ab_dgcnn.json
+      ;;
     *) echo "unknown step: $s" >&2 ;;
   esac
 done
