@@ -11,7 +11,7 @@ for i in $(seq 1 200); do
   echo "[$(date +%H:%M:%S)] probe $i" >> "$log"
   if timeout 300 python -c "import jax; jax.devices()" >> "$log" 2>&1; then
     echo "[$(date +%H:%M:%S)] TUNNEL UP — running tpu_session.sh" >> "$log"
-    bash scripts/tpu_session.sh fused bench >> "$log" 2>&1
+    bash scripts/tpu_session.sh fused ab_ssg ab_dgcnn bench >> "$log" 2>&1
     echo "[$(date +%H:%M:%S)] session done rc=$?" >> "$log"
     exit 0
   fi
