@@ -18,6 +18,7 @@ batch (one ~25 ms fetch amortized over reps).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -345,10 +346,18 @@ def _run_family(fn):
         return out
 
 
+# Stop starting new families once this much wall time has elapsed: on
+# the axon tunnel every distinct executable pays ~60-130 s of server
+# first-execution, and a lost headline (driver timeout) costs more than
+# a skipped tail family.  PCA_BENCH_BUDGET_S overrides (0 = unlimited).
+_FAMILY_BUDGET_S = float(os.environ.get("PCA_BENCH_BUDGET_S", "2400") or 0)
+
+
 def main():
     _wait_for_backend()
     from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
 
+    t0 = time.time()
     cw = _run_family(bench_cw)
     families = {"cw": cw}
     for name, fn in (
@@ -363,6 +372,9 @@ def main():
         ("si_ifgm", bench_si_ifgm),
         ("si_ifgm_r5", lambda: bench_si_ifgm(normal_refresh=5)),
     ):
+        if _FAMILY_BUDGET_S and time.time() - t0 > _FAMILY_BUDGET_S:
+            families[name] = {"skipped": "time_budget"}
+            continue
         try:
             families[name] = _run_family(fn)
         except Exception as e:  # keep the headline alive on any breakage
