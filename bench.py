@@ -326,24 +326,25 @@ def bench_si_ifgm(normal_refresh: int = 1):
 
 
 def _run_family(fn):
-    """Run one family; if it fails while the fused chain+pool Pallas
-    kernels are enabled, disable them for the REST of the process (the
-    failure would repeat in every family) and retry once on the XLA
-    path.  Insurance for Mosaic shape rejections that only surface on
-    real TPU hardware — the dispatch gates
-    (dense_max_kernel.use_chain_kernel/use_group_chain_kernel) are
-    interpret-mode tested but hardware acceptance is per-shape."""
-    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+    """Run one family with Mosaic-rejection insurance (shared helper:
+    a Mosaic/Pallas failure disables the fused chain+pool kernels for
+    the REST of the process and retries once on the XLA path; unrelated
+    errors re-raise).  Each family's result records the fused-kernel
+    state it was actually measured under — a tail family tripping the
+    disable must not mislabel the already-measured headline."""
+    from pointcloudattack_tpu.models.common import (
+        FUSED_MAXPOOL,
+        retry_without_fused_maxpool,
+    )
 
-    try:
-        return fn()
-    except Exception as e:
-        if not FUSED_MAXPOOL["enabled"]:
-            raise
-        FUSED_MAXPOOL["enabled"] = False
-        out = fn()
-        out["fused_maxpool_disabled_after"] = str(e)[:160]
-        return out
+    was_enabled = FUSED_MAXPOOL["enabled"]
+    out = retry_without_fused_maxpool(fn)
+    out["fused_maxpool"] = FUSED_MAXPOOL["enabled"]
+    if was_enabled and not FUSED_MAXPOOL["enabled"]:
+        out["fused_maxpool_disabled_after"] = FUSED_MAXPOOL[
+            "disabled_reason"
+        ]
+    return out
 
 
 # Stop starting new families once this much wall time has elapsed: on
@@ -355,8 +356,6 @@ _FAMILY_BUDGET_S = float(os.environ.get("PCA_BENCH_BUDGET_S", "2400") or 0)
 
 def main():
     _wait_for_backend()
-    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
-
     t0 = time.time()
     cw = _run_family(bench_cw)
     families = {"cw": cw}
@@ -395,7 +394,10 @@ def main():
                 # overcounted — mfu is an UPPER bound, loosest for
                 # loop-light families (aof, si_ifgm)
                 "mfu_method": "scan_body_flops_x_iters_upper_bound",
-                "fused_maxpool": FUSED_MAXPOOL["enabled"],
+                # the HEADLINE's provenance: the fused-kernel state cw
+                # was measured under (a later family may flip the
+                # process-wide flag; per-family state is in families.*)
+                "fused_maxpool": cw["fused_maxpool"],
                 "families": families,
             }
         )

@@ -177,6 +177,20 @@ def thompson_sample_attack(
     return best_w, False, num_init
 
 
+def _tsi_probe_batched_math(model_fn, objs, labels, ws):
+    """(objs [B,N,3], labels [B], ws [B,3,3]) -> (pred, true_prob):
+    per-sample isometries in ONE victim forward.  Shared by the jitted
+    standalone probe below and the lockstep round body (one copy of the
+    probe semantics)."""
+    logits = model_fn(jnp.einsum("bnc,bdc->bnd", objs, ws))
+    prob = jax.nn.softmax(logits, axis=-1)
+    pred = jnp.argmax(logits, axis=-1)
+    true_prob = jnp.take_along_axis(
+        prob, labels[:, None], axis=-1
+    )[:, 0]
+    return pred, true_prob
+
+
 def build_tsi_probe_batched(model_fn: Callable):
     """Jitted (objs [B,N,3], labels [B], ws [B,3,3]) -> (pred, true_prob).
 
@@ -186,13 +200,7 @@ def build_tsi_probe_batched(model_fn: Callable):
 
     @jax.jit
     def probe(objs, labels, ws):
-        logits = model_fn(jnp.einsum("bnc,bdc->bnd", objs, ws))
-        prob = jax.nn.softmax(logits, axis=-1)
-        pred = jnp.argmax(logits, axis=-1)
-        true_prob = jnp.take_along_axis(
-            prob, labels[:, None], axis=-1
-        )[:, 0]
-        return pred, true_prob
+        return _tsi_probe_batched_math(model_fn, objs, labels, ws)
 
     return probe
 
@@ -287,12 +295,9 @@ def thompson_sample_attack_lockstep(
             if kind == "reflection"
             else _rotation_xyz_jnp(angles)
         )
-        logits = model_fn(jnp.einsum("bnc,bdc->bnd", objs, ws))
-        prob = jax.nn.softmax(logits, axis=-1)
-        pred = jnp.argmax(logits, axis=-1)
-        true_prob = jnp.take_along_axis(
-            prob, labels[:, None], axis=-1
-        )[:, 0]
+        pred, true_prob = _tsi_probe_batched_math(
+            model_fn, objs, labels, ws
+        )
         wrong = pred != labels
         active = ~success
         # masked posterior update: finished samples stop rewarding

@@ -164,28 +164,27 @@ def _surrogate_model_fn(args, cfg, num_classes):
             "--surrogate_model requires --surrogate_checkpoint "
             "(a randomly initialized surrogate gives useless gradients)"
         )
+    def build():
+        from pointcloudattack_tpu.utils.apply import make_model_fn
+
+        s_cfg = dataclasses_replace_model(cfg, args.surrogate_model)
+        s_model, s_vars = _build_model(s_cfg, num_classes)
+        s_vars = _restore(
+            s_cfg, args.surrogate_model, args.surrogate_checkpoint, s_vars
+        )
+        return _normalize_output(
+            make_model_fn(s_model, s_vars), args.surrogate_model
+        )
+
     # chunked sweeps call this once per chunk; rebuilding would re-port
     # the checkpoint and re-jit the surrogate forward every chunk
-    memo_key = (
-        "surrogate", args.surrogate_model, args.surrogate_checkpoint,
-        num_classes, cfg.num_points, cfg.seed,
+    return _memo_get(
+        (
+            "surrogate", args.surrogate_model, args.surrogate_checkpoint,
+            num_classes, cfg.num_points, cfg.seed,
+        ),
+        build,
     )
-    if memo_key in _BUILD_MEMO:
-        return _BUILD_MEMO[memo_key]
-    from pointcloudattack_tpu.utils.apply import make_model_fn
-
-    s_cfg = dataclasses_replace_model(cfg, args.surrogate_model)
-    s_model, s_vars = _build_model(s_cfg, num_classes)
-    s_vars = _restore(
-        s_cfg, args.surrogate_model, args.surrogate_checkpoint, s_vars
-    )
-    fn = _normalize_output(
-        make_model_fn(s_model, s_vars), args.surrogate_model
-    )
-    if len(_BUILD_MEMO) >= 32:
-        _BUILD_MEMO.pop(next(iter(_BUILD_MEMO)))
-    _BUILD_MEMO[memo_key] = fn
-    return fn
 
 
 def cmd_train(args):
@@ -302,45 +301,39 @@ ATTACK_FAMILIES = (
 _BUILD_MEMO: dict = {}
 
 
-def _memo_build(build_fn, *key_args):
-    key = (build_fn, *key_args)
+def _memo_get(key, thunk):
+    """FIFO-capped memo lookup; unhashable keys build uncached."""
     try:
-        if key not in _BUILD_MEMO:
-            if len(_BUILD_MEMO) >= 32:
-                _BUILD_MEMO.pop(next(iter(_BUILD_MEMO)))
-            _BUILD_MEMO[key] = build_fn(*key_args)
-        return _BUILD_MEMO[key]
+        hash(key)
     except TypeError:  # unhashable key component — build uncached
-        return build_fn(*key_args)
+        return thunk()
+    if key not in _BUILD_MEMO:
+        if len(_BUILD_MEMO) >= 32:
+            _BUILD_MEMO.pop(next(iter(_BUILD_MEMO)))
+        _BUILD_MEMO[key] = thunk()
+    return _BUILD_MEMO[key]
+
+
+def _memo_build(build_fn, *key_args):
+    return _memo_get(
+        (build_fn, *key_args), lambda: build_fn(*key_args)
+    )
 
 
 def _attack_with_fused_fallback(run):
-    """Run an attack dispatch; if it fails while the fused chain+pool
-    Pallas kernels are enabled, disable them for the rest of the
-    process, drop every cached trace (jit caches and the builder memo
-    hold programs with the kernels baked in), and retry once on the
-    XLA path.  Mirrors bench.py::_run_family and __graft_entry__ —
-    Mosaic kernel-shape acceptance is per-shape and only observable on
-    real TPU hardware; PCA_FUSED_MAXPOOL=0 is the manual kill switch.
-    All chunks of a sweep share one executable, so a rejection fires on
-    the first chunk and the retry re-runs essentially nothing."""
-    import jax
+    """Run an attack dispatch with Mosaic-rejection insurance: on a
+    Mosaic/Pallas failure, disable the fused chain+pool kernels, clear
+    the builder memo (its closures hold programs with the kernels baked
+    in), and retry once on the XLA path — see
+    models/common.py::retry_without_fused_maxpool (shared with bench.py
+    and __graft_entry__).  All chunks of a sweep share one executable,
+    so a rejection fires on the first chunk and the retry re-runs
+    essentially nothing."""
+    from pointcloudattack_tpu.models.common import (
+        retry_without_fused_maxpool,
+    )
 
-    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
-
-    try:
-        return run()
-    except Exception as e:
-        if not FUSED_MAXPOOL["enabled"]:
-            raise
-        FUSED_MAXPOOL["enabled"] = False
-        _BUILD_MEMO.clear()
-        jax.clear_caches()
-        print(
-            "fused chain+pool kernels disabled after failure; retrying "
-            f"on the XLA path ({str(e)[:120]})"
-        )
-        return run()
+    return retry_without_fused_maxpool(run, on_disable=_BUILD_MEMO.clear)
 
 
 def _run_family(
@@ -691,20 +684,33 @@ def _run_family(
     return adv, success
 
 
+# args that cannot change a chunk's (adv, success) payload: artifact
+# locations, observability switches, and the post-hoc transfer panel
+# (evaluated AFTER the sweep on whatever adv came out of it)
+_FINGERPRINT_EXCLUDE = frozenset({
+    "func", "command", "output_dir", "resume", "save_adv",
+    "profile_dir", "debug_nans", "transfer_test", "trans_model",
+    "trans_checkpoint",
+})
+
+
 def _chunk_fingerprint(args, cfg, family, n) -> str:
     """Config fingerprint stored in every chunk file: --resume refuses
-    to splice results produced under different attack settings."""
+    to splice results produced under different attack settings.
+
+    Hashes EVERY parsed attack argument except the explicit
+    result-irrelevant exclude list above — an omitted-by-accident flag
+    (the round-3 advisor found --adv_func/--nn_refresh/... missing from
+    a hand-picked include list) would silently splice chunks computed
+    under different configurations."""
     keyfields = {
-        "family": family, "model": cfg.model, "seed": cfg.seed,
-        "n": n, "attack_batch": args.attack_batch,
-        "attack_method": args.attack_method,
-        "binary_step": args.binary_step, "num_iter": args.num_iter,
-        "kappa": args.kappa, "budget": args.budget,
-        "attack_lr": args.attack_lr, "defense": args.defense,
-        "compute_dtype": args.compute_dtype,
-        "num_points": cfg.num_points,
+        k: v
+        for k, v in sorted(vars(args).items())
+        if k not in _FINGERPRINT_EXCLUDE and not callable(v)
     }
-    return json.dumps(keyfields, sort_keys=True)
+    keyfields["family"] = family
+    keyfields["n"] = n
+    return json.dumps(keyfields, sort_keys=True, default=str)
 
 
 def _run_family_chunked(
@@ -766,20 +772,34 @@ def _run_family_chunked(
         hi = min(lo + bs, n)
         m = hi - lo
         if args.resume and os.path.exists(path):
-            z = np.load(path, allow_pickle=False)
-            if (
-                "fingerprint" in z.files
-                and str(z["fingerprint"]) == fingerprint
-                and z["adv"].shape[0] == m
-            ):
-                adv_parts.append(z["adv"])
-                succ_parts.append(z["success"])
-                print(f"chunk {ci + 1}/{nchunks}: resumed from {path}")
-                continue
-            print(
-                f"chunk {ci + 1}/{nchunks}: stale chunk file "
-                f"(config changed) — re-running"
-            )
+            # a chunk file can be truncated if the sweep was killed
+            # mid-np.savez (the exact scenario --resume exists for) —
+            # treat an unreadable file as a missing chunk, not a crash
+            try:
+                z = np.load(path, allow_pickle=False)
+                ok = (
+                    "fingerprint" in z.files
+                    and str(z["fingerprint"]) == fingerprint
+                    and z["adv"].shape[0] == m
+                )
+            except Exception as e:
+                ok = False
+                print(
+                    f"chunk {ci + 1}/{nchunks}: unreadable chunk file "
+                    f"({type(e).__name__}) — re-running"
+                )
+            else:
+                if ok:
+                    adv_parts.append(z["adv"])
+                    succ_parts.append(z["success"])
+                    print(
+                        f"chunk {ci + 1}/{nchunks}: resumed from {path}"
+                    )
+                    continue
+                print(
+                    f"chunk {ci + 1}/{nchunks}: stale chunk file "
+                    f"(config changed) — re-running"
+                )
         sel = np.arange(lo, hi)
         if m < bs:  # edge-replicate: keeps the compiled shape fixed
             sel = np.concatenate([sel, np.full(bs - m, hi - 1)])
@@ -801,9 +821,11 @@ def _run_family_chunked(
             )
         adv_c = np.asarray(adv_c)[:m]
         succ_c = np.asarray(succ_c)[:m]
-        np.savez(
-            path, adv=adv_c, success=succ_c, fingerprint=fingerprint
-        )
+        # atomic publish: np.savez is not atomic, and a half-written
+        # chunk must never be mistaken for a finished one on --resume
+        tmp = path + ".tmp.npz"  # np.savez appends .npz to other names
+        np.savez(tmp, adv=adv_c, success=succ_c, fingerprint=fingerprint)
+        os.replace(tmp, path)
         adv_parts.append(adv_c)
         succ_parts.append(succ_c)
         print(

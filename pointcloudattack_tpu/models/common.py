@@ -32,7 +32,58 @@ from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
 FUSED_MAXPOOL = {
     "enabled": os.environ.get("PCA_FUSED_MAXPOOL", "1") != "0",
     "interpret": False,
+    # set by retry_without_fused_maxpool when a hardware rejection flips
+    # "enabled" off mid-process — bench.py records it per family
+    "disabled_reason": "",
 }
+
+
+def is_mosaic_error(e: BaseException) -> bool:
+    """True when an exception looks like a Mosaic/Pallas kernel failure
+    (shape rejection, lowering gap, TPU custom-call compile/runtime
+    error) rather than an unrelated attack/runtime failure.  Mosaic
+    rejections surface as XlaRuntimeError/NotImplementedError messages
+    naming Mosaic, Pallas, or the tpu_custom_call target."""
+    msg = f"{type(e).__name__}: {e}".lower()
+    return any(s in msg for s in ("mosaic", "pallas", "tpu_custom_call"))
+
+
+def retry_without_fused_maxpool(run, on_disable=None):
+    """Call ``run()``; on a Mosaic/Pallas failure while the fused
+    chain+pool kernels are enabled, disable them for the REST of the
+    process, drop every cached jitted trace (compiled programs have the
+    kernels baked in), and retry once on the XLA path.
+
+    Mosaic kernel-shape acceptance is per-shape and only observable on
+    real TPU hardware, so the dispatch gates
+    (dense_max_kernel.use_chain_kernel/use_group_chain_kernel) cannot
+    fully pre-validate; PCA_FUSED_MAXPOOL=0 is the manual kill switch.
+    Unrelated failures (OOM, bad checkpoint path, tunnel drops) are NOT
+    swallowed — they re-raise immediately instead of triggering a
+    full re-run on the slow path with a misattributed cause.  Set
+    PCA_FUSED_FALLBACK_ANY=1 to restore catch-everything insurance.
+
+    ``on_disable`` runs after the flag flips (callers clear their own
+    builder memos there).
+    """
+    try:
+        return run()
+    except Exception as e:
+        broad = os.environ.get("PCA_FUSED_FALLBACK_ANY", "0") == "1"
+        if not FUSED_MAXPOOL["enabled"] or not (broad or is_mosaic_error(e)):
+            raise
+        FUSED_MAXPOOL["enabled"] = False
+        FUSED_MAXPOOL["disabled_reason"] = str(e)[:160]
+        jax.clear_caches()
+        if on_disable is not None:
+            on_disable()
+        print(
+            "fused chain+pool kernels disabled after "
+            f"{type(e).__name__}; retrying on the XLA path "
+            f"({str(e)[:120]})",
+            flush=True,
+        )
+        return run()
 
 
 class PointMLP(nn.Module):

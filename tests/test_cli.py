@@ -525,6 +525,62 @@ def test_attack_cw_chunked_and_resume(trained_run, tmp_path, capsys):
     main(argv_kappa + ["--resume"])
     assert capsys.readouterr().out.count("stale chunk file") == 2
 
+    # a truncated chunk file (sweep killed mid-np.savez) re-runs that
+    # chunk instead of crashing the restart
+    with open(os.path.join(chunk_dir, files[0]), "wb") as f:
+        f.write(b"PK\x03\x04 truncated")
+    asr3 = main(argv_kappa + ["--resume"])
+    out3 = capsys.readouterr().out
+    assert out3.count("unreadable chunk file") == 1
+    assert out3.count("resumed from") == 1
+    assert np.load(os.path.join(chunk_dir, files[0]))["adv"].shape[0] == 4
+    assert asr3 >= 0.0  # aggregate still produced
+
+
+def test_chunk_fingerprint_covers_attack_knobs(tmp_path):
+    """--resume's fingerprint must cover EVERY result-affecting flag
+    (the round-3 review found --adv_func/--nn_refresh/... missing from
+    a hand-picked include list) while ignoring artifact-only flags."""
+    from pointcloudattack_tpu.cli.main import (
+        _chunk_fingerprint,
+        build_parser,
+        run_config_from_args,
+    )
+
+    base = [
+        "attack", "cw", "--dataset", "synthetic", "--num_points", "64",
+        "--num_samples", "6", "--attack_batch", "4",
+    ]
+
+    def fp(extra):
+        args = build_parser().parse_args(base + extra)
+        return _chunk_fingerprint(
+            args, run_config_from_args(args), "cw", 6
+        )
+
+    ref = fp([])
+    # every result-affecting knob must invalidate finished chunks
+    for extra in (
+        ["--adv_func", "cross_entropy"],
+        ["--nn_refresh", "5"],
+        ["--curv_knn_refresh", "4"],
+        ["--hd_loss_weight", "0.5"],
+        ["--target_class", "2"],
+        ["--use_jitter", "1"],
+        ["--defense_checkpoint", "w.pth"],
+        ["--surrogate_checkpoint", "s.pth"],
+    ):
+        assert fp(extra) != ref, extra
+    # artifact/observability flags must NOT (or --resume could never
+    # reuse anything)
+    for extra in (
+        ["--output_dir", str(tmp_path / "elsewhere")],
+        ["--resume"],
+        ["--save_adv"],
+        ["--transfer_test"],
+    ):
+        assert fp(extra) == ref, extra
+
 
 def test_attack_batch_rejected_for_iso(trained_run):
     out, ckpt = trained_run
@@ -562,10 +618,45 @@ def test_fused_fallback_disables_and_retries():
         assert _attack_with_fused_fallback(run) == "ok"
         assert calls == [True, False]
         assert "sentinel" not in _BUILD_MEMO
+        assert FUSED_MAXPOOL["disabled_reason"].startswith("Mosaic")
         # with the kernels already off, failures propagate unchanged
         with pytest.raises(RuntimeError, match="plain"):
             _attack_with_fused_fallback(
                 lambda: (_ for _ in ()).throw(RuntimeError("plain"))
             )
+    finally:
+        FUSED_MAXPOOL["enabled"] = prior
+
+
+def test_fused_fallback_reraises_unrelated_errors(monkeypatch):
+    """A failure that is NOT a Mosaic/Pallas rejection must re-raise
+    immediately (not silently disable the kernels and re-run a possibly
+    multi-hour sweep on the slow path with a misattributed cause);
+    PCA_FUSED_FALLBACK_ANY=1 restores catch-everything insurance."""
+    from pointcloudattack_tpu.cli.main import _attack_with_fused_fallback
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    prior = FUSED_MAXPOOL["enabled"]
+    FUSED_MAXPOOL["enabled"] = True
+    try:
+        with pytest.raises(FileNotFoundError):
+            _attack_with_fused_fallback(
+                lambda: (_ for _ in ()).throw(
+                    FileNotFoundError("missing checkpoint s.pth")
+                )
+            )
+        assert FUSED_MAXPOOL["enabled"]  # unrelated error: kernels stay on
+
+        monkeypatch.setenv("PCA_FUSED_FALLBACK_ANY", "1")
+        calls = []
+
+        def run():
+            calls.append(FUSED_MAXPOOL["enabled"])
+            if FUSED_MAXPOOL["enabled"]:
+                raise FileNotFoundError("missing checkpoint s.pth")
+            return "ok"
+
+        assert _attack_with_fused_fallback(run) == "ok"
+        assert calls == [True, False]
     finally:
         FUSED_MAXPOOL["enabled"] = prior
