@@ -1,0 +1,155 @@
+"""Hardware numeric parity: fused chain+pool kernels vs the XLA path.
+
+The fused Pallas kernels (ops/pallas/dense_max_kernel.py) are
+bit-parity-tested in interpret mode on CPU, but Mosaic's real-hardware
+compilation is a separate code path: a kernel can compile AND run on
+the TPU while producing wrong numbers (the disable-and-retry insurance
+only catches *raised* errors).  This script runs each fused-kernel
+victim forward + input gradient twice on the CURRENT backend — fused
+kernels ON, then OFF with cleared jit caches — and reports the max
+absolute forward/gradient deviation per model.
+
+Expected on TPU: tiny nonzero diffs (the kernel's per-tile matmul
+accumulation order differs from XLA's fusion choices; both truncate
+operands to bf16 with f32 accumulation).  PASS thresholds are loose
+screens for miscompilation, not bit-exactness claims — the bit-level
+contract is the interpret-mode suite (tests/test_pallas_dense_max.py).
+
+Runs standalone on any backend:  python scripts/tpu_parity_fused.py
+Auto-runs first in scripts/tpu_session.sh's `fused` step.
+"""
+
+import json
+import sys
+
+# On TPU both arms truncate matmul operands to bf16 with f32
+# accumulation (the kernel explicitly; XLA's DEFAULT f32-dot precision
+# in hardware), so only accumulation-order rounding and rare argmax
+# near-tie flips separate them — tight screens.  On CPU the XLA arm
+# runs full-f32 dots against the kernel's bf16 truncation: systemic
+# O(bf16-eps) deviations are EXPECTED, so --interpret runs use loose
+# screens that only validate the script machinery (measured CPU
+# baseline: fwd<=1.4e-3, cos>=0.911, flip_frac<=4.3e-2 across victims).
+THRESHOLDS = {
+    # platform: (fwd_tol, grad_cos_min, grad_flip_frac_max)
+    "tpu": (5e-3, 0.999, 2e-3),
+    "cpu": (5e-3, 0.90, 6e-2),
+}
+
+# victims that engage fused kernels, with gate-passing shapes
+VICTIMS = (
+    ("PointNet", 8, 1024),  # dense chain + STN
+    ("PointNet++Ssg", 8, 1024),  # grouped SA chains (+ group_all)
+    ("PointNet++Msg", 4, 1024),  # multi-scale grouped SA (643-wide SA3)
+    ("DGCNN", 4, 1024),  # EdgeConv grouped chain, k=20
+    ("CurveNet", 4, 1024),  # LPFA groupmean + CIC chains
+)
+
+
+def run_victim(model_key: str, batch: int, n: int, thresholds) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointcloudattack_tpu import models
+    from pointcloudattack_tpu.data.synthetic import make_synthetic_clouds
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    clouds, _ = make_synthetic_clouds(40, 1, n, seed=0)
+    x = jnp.asarray(np.asarray(clouds)[:1].repeat(batch, 0))
+    # break the repeat symmetry so every example is distinct
+    x = x + 1e-2 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+
+    model = models.make_model(model_key, 40)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=n, batch=batch
+    )
+
+    def arm(enabled: bool):
+        prior = FUSED_MAXPOOL["enabled"]
+        FUSED_MAXPOOL["enabled"] = enabled
+        try:
+            jax.clear_caches()  # traces hold the other arm's dispatch
+            fn = make_model_fn(model, variables)
+
+            def loss(a):
+                out = fn(a)
+                # margin-style scalar: touches every class column
+                return jnp.sum(out * jnp.cos(jnp.arange(out.shape[-1])))
+
+            y, g = jax.jit(
+                lambda a: (fn(a), jax.grad(loss)(a))
+            )(x)
+            return np.asarray(y), np.asarray(g)
+        finally:
+            FUSED_MAXPOOL["enabled"] = prior
+
+    y1, g1 = arm(True)
+    y0, g0 = arm(False)
+    fwd_diff = float(np.max(np.abs(y1 - y0)))
+    grad_scale = float(np.max(np.abs(g0))) or 1.0
+    grad_diff = float(np.max(np.abs(g1 - g0)))
+    # An argmax near-tie flipping between arms (f32 accumulation-order
+    # rounding) moves an O(1) gradient contribution between two points:
+    # max-abs deviation is O(scale) even when both arms are correct.
+    # A miscompile corrupts MOST entries and wrecks the direction, so
+    # screen on sparsity of large deviations + whole-gradient cosine.
+    flip_frac = float(
+        np.mean(np.abs(g1 - g0) > 0.05 * grad_scale)
+    )
+    denom = float(np.linalg.norm(g0) * np.linalg.norm(g1)) or 1.0
+    grad_cos = float(np.sum(g0 * g1) / denom)
+    fwd_tol, cos_min, flip_max = thresholds
+    return {
+        "fwd_max_abs_diff": fwd_diff,
+        "grad_max_abs_diff": grad_diff,
+        "grad_scale": grad_scale,
+        "grad_cos": round(grad_cos, 6),
+        "grad_flip_frac": flip_frac,
+        "pass": bool(
+            np.isfinite(y1).all()
+            and np.isfinite(g1).all()
+            and fwd_diff < fwd_tol
+            and grad_cos > cos_min
+            and flip_frac < flip_max
+        ),
+    }
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--interpret", action="store_true",
+        help="force the fused path through the Pallas interpreter "
+        "(validates this script on CPU, where the Mosaic gate is off)",
+    )
+    args = ap.parse_args()
+    if args.interpret:
+        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+        FUSED_MAXPOOL["interpret"] = True
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    thresholds = THRESHOLDS.get(platform, THRESHOLDS["tpu"])
+    out = {"platform": platform, "thresholds": thresholds}
+    ok = True
+    for model_key, batch, n in VICTIMS:
+        try:
+            r = run_victim(model_key, batch, n, thresholds)
+        except Exception as e:  # keep screening the other victims
+            r = {"error": f"{type(e).__name__}: {e}"[:200], "pass": False}
+        out[model_key] = r
+        ok = ok and r["pass"]
+        print(f"# {model_key}: {r}", file=sys.stderr, flush=True)
+    out["all_pass"] = ok
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,6 +2,8 @@
 # One-shot TPU measurement session for the round-3 fused-kernel work.
 #
 # Run when the axon tunnel is up.  Produces, in order:
+#   /tmp/fused_parity.json - scripts/tpu_parity_fused.py hardware numeric
+#                            screen (fused vs XLA, fwd + grad, per victim)
 #   /tmp/fused_ab.json   - scripts/bench_fused_maxpool.py A/B (CW headline,
 #                          fused chain+pool ON vs OFF, f32 + bf16)
 #   /tmp/bench_full.json - python bench.py (all families, one JSON line)
@@ -14,8 +16,18 @@ steps="${*:-fused bench}"
 for s in $steps; do
   case "$s" in
     fused)
+      # hardware numeric parity FIRST: a Mosaic kernel can compile and
+      # run while producing wrong numbers — screen before timing
+      echo "== fused hardware parity ==" >&2
+      timeout 3000 python scripts/tpu_parity_fused.py \
+        | tee /tmp/fused_parity.json \
+        || echo "PARITY FAILED — treat A/B below as suspect" >&2
       echo "== fused A/B ==" >&2
       timeout 3000 python scripts/bench_fused_maxpool.py | tee /tmp/fused_ab.json
+      ;;
+    parity)
+      echo "== fused hardware parity ==" >&2
+      timeout 3000 python scripts/tpu_parity_fused.py | tee /tmp/fused_parity.json
       ;;
     bench)
       echo "== bench.py ==" >&2
