@@ -31,6 +31,10 @@ from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
 # a test hook that runs the kernel through the Pallas interpreter on CPU.
 FUSED_MAXPOOL = {
     "enabled": os.environ.get("PCA_FUSED_MAXPOOL", "1") != "0",
+    # in-kernel neighbour-gather fusion for grouped chains
+    # (ops/pallas/gather_chain_kernel.py) — OPT-IN until its TPU A/B is
+    # measured (scripts/bench_fused_maxpool.py --victim dgcnn/ssg)
+    "gather": os.environ.get("PCA_FUSED_GATHER", "0") == "1",
     "interpret": False,
     # set by retry_without_fused_maxpool when a hardware rejection flips
     # "enabled" off mid-process — bench.py records it per family

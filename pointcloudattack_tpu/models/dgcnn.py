@@ -149,13 +149,44 @@ class EdgeConv(nn.Module):
             use_group_chain_kernel,
         )
 
-        e = graph_feature(x, self.k, self.gather_mode)  # [B, N, k, 2C]
         fusable = (
             not train
             and not self.is_initializing()
             and FUSED_MAXPOOL["enabled"]
         )
         ip = FUSED_MAXPOOL["interpret"]
+        if fusable and FUSED_MAXPOOL["gather"]:
+            # in-kernel gather fusion: the [B, N, k, 2C] edge tensor is
+            # never materialized — the kernel gathers neighbours from x
+            # (3-limb, exact) and builds [x_j - x_i, x_i] rows in VMEM
+            # (reference model/dgcnn.py:203-227 semantics), bit-exact vs
+            # graph_feature(tri) + the grouped chain kernel
+            from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+                gather_chain_groupmax,
+                use_gather_chain_kernel,
+            )
+
+            c = x.shape[-1]
+            layout = (("diff", 0, c, 0), ("center", 0, c))
+            if ip or use_gather_chain_kernel(
+                x.shape[1], self.k, (2 * c, self.features), layout
+            ):
+                idx = knn(x, self.k)
+                pw = self.get_variable("params", "Dense_0")["kernel"]
+                pb = self.get_variable("params", "BatchNorm_0")
+                st = self.get_variable("batch_stats", "BatchNorm_0")
+                mul = jax.lax.rsqrt(st["var"] + 1e-5) * pb["scale"]
+                zero = jnp.zeros_like(st["mean"])
+                pooled = gather_chain_groupmax(
+                    x, x, idx,
+                    ((pw, zero, st["mean"], mul, pb["bias"]),),
+                    layout, ip,
+                )
+                return nn.leaky_relu(
+                    pooled, negative_slope=0.2
+                ).astype(x.dtype)
+
+        e = graph_feature(x, self.k, self.gather_mode)  # [B, N, k, 2C]
         if fusable and (
             ip
             or use_group_chain_kernel(

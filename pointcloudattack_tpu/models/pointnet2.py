@@ -28,6 +28,56 @@ from pointcloudattack_tpu.ops.grouping import (
 )
 
 
+def _collect_layers(parent: nn.Module, name: str, n: int):
+    """(w, b, mean, mul, beta) per layer of a PointMLP submodule."""
+    pd = parent.get_variable("params", name)
+    st = parent.get_variable("batch_stats", name)
+    layers = []
+    for i in range(n):
+        mul = jax.lax.rsqrt(st[f"bn{i}"]["var"] + 1e-5) * pd[f"bn{i}"]["scale"]
+        layers.append((
+            pd[f"dense{i}"]["kernel"], pd[f"dense{i}"]["bias"],
+            st[f"bn{i}"]["mean"], mul, pd[f"bn{i}"]["bias"],
+        ))
+    return tuple(layers)
+
+
+def _fused_gather_sa(
+    parent: nn.Module, name: str, feats, src, centers, idx, layout, train
+):
+    """Set abstraction with IN-KERNEL neighbour gather: the grouped
+    [B, S, K, C] tensor is never materialized — the kernel gathers from
+    ``src`` (3-limb exact for diffed xyz, chain-truncation-identical
+    bf16 for features), builds the rows in VMEM, runs the MLP chain and
+    the max (ops/pallas/gather_chain_kernel.py).  Returns the pooled
+    [B, S, C_L] (post-ReLU) or None when ineligible.  Opt-in via
+    PCA_FUSED_GATHER (FUSED_MAXPOOL["gather"]).
+    """
+    from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+        gather_chain_groupmax,
+        use_gather_chain_kernel,
+    )
+
+    if (
+        train
+        or parent.is_initializing()
+        or not FUSED_MAXPOOL["enabled"]
+        or not FUSED_MAXPOOL["gather"]
+    ):
+        return None
+    ip = FUSED_MAXPOOL["interpret"]
+    c0 = sum(s[2] - s[1] for s in layout)
+    dims = (c0, *feats)
+    if not (
+        ip
+        or use_gather_chain_kernel(src.shape[1], idx.shape[2], dims, layout)
+    ):
+        return None
+    layers = _collect_layers(parent, name, len(feats))
+    pooled = gather_chain_groupmax(src, centers, idx, layers, layout, ip)
+    return nn.relu(pooled).astype(src.dtype)
+
+
 def _fused_group_mlp(parent: nn.Module, name: str, feats, grouped, train):
     """Run a grouped PointMLP + max-over-K, fused when eligible.
 
@@ -52,16 +102,8 @@ def _fused_group_mlp(parent: nn.Module, name: str, feats, grouped, train):
     dims = (grouped.shape[-1], *feats)
     if not (ip or use_group_chain_kernel(k, dims)):
         return None
-    pd = parent.get_variable("params", name)
-    st = parent.get_variable("batch_stats", name)
-    layers = []
-    for i in range(len(feats)):
-        mul = jax.lax.rsqrt(st[f"bn{i}"]["var"] + 1e-5) * pd[f"bn{i}"]["scale"]
-        layers.append((
-            pd[f"dense{i}"]["kernel"], pd[f"dense{i}"]["bias"],
-            st[f"bn{i}"]["mean"], mul, pd[f"bn{i}"]["bias"],
-        ))
-    pooled = mlp_chain_groupmax(grouped, tuple(layers), ip)
+    layers = _collect_layers(parent, name, len(feats))
+    pooled = mlp_chain_groupmax(grouped, layers, ip)
     return nn.relu(pooled).astype(grouped.dtype)
 
 
@@ -94,11 +136,32 @@ class SetAbstraction(nn.Module):
                 grouped[:, 0], train=train
             )[:, None]
             return new_xyz, pooled
-        else:
-            new_xyz, grouped = sample_and_group(
-                self.npoint, self.radius, self.nsample, xyz, points,
-                key=fps_key,
+        if FUSED_MAXPOOL["gather"]:
+            # in-kernel gather fusion (opt-in): reproduce
+            # sample_and_group's exact construction (ops/grouping.py:
+            # 39-48 — grouped_xyz - new_xyz first, features after) with
+            # the gather inside the kernel
+            fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+            new_xyz = index_points(xyz, fps_idx)
+            idx = query_ball_point(
+                self.radius, self.nsample, xyz, new_xyz
             )
+            if points is not None:
+                src = jnp.concatenate([xyz, points], axis=-1)
+                layout = (
+                    ("diff", 0, 3, 0), ("pass", 3, src.shape[-1]),
+                )
+            else:
+                src, layout = xyz, (("diff", 0, 3, 0),)
+            pooled = _fused_gather_sa(
+                self, "mlp", self.mlp, src, new_xyz, idx, layout, train
+            )
+            if pooled is not None:
+                return new_xyz, pooled
+        new_xyz, grouped = sample_and_group(
+            self.npoint, self.radius, self.nsample, xyz, points,
+            key=fps_key,
+        )
         # grouped: [B, S, K, C] -> per-point MLP -> max over K (fused
         # chain+pool Pallas pass on TPU in eval mode)
         pooled = _fused_group_mlp(self, "mlp", self.mlp, grouped, train)
@@ -137,6 +200,23 @@ class SetAbstractionMSG(nn.Module):
             zip(self.radius_list, self.nsample_list)
         ):
             idx = query_ball_point(radius, k, xyz, new_xyz, sqr=sqr)
+            if FUSED_MAXPOOL["gather"]:
+                # reference concatenates FEATURES first, xyz-diff last
+                # (model/pointnet2_MSG.py:45-52)
+                if points is not None:
+                    src = jnp.concatenate([xyz, points], axis=-1)
+                    layout = (
+                        ("pass", 3, src.shape[-1]), ("diff", 0, 3, 0),
+                    )
+                else:
+                    src, layout = xyz, (("diff", 0, 3, 0),)
+                pooled = _fused_gather_sa(
+                    self, f"branch{i}", self.mlp_list[i], src, new_xyz,
+                    idx, layout, train,
+                )
+                if pooled is not None:
+                    outs.append(pooled)
+                    continue
             grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
                 grouped_pts = index_points(points, idx)

@@ -56,10 +56,55 @@ class PUNetSA(nn.Module):
             use_group_chain_kernel,
         )
 
+        ip = FUSED_MAXPOOL["interpret"]
+        if (
+            not self.is_initializing()
+            and FUSED_MAXPOOL["enabled"]
+            and FUSED_MAXPOOL["gather"]
+        ):
+            # in-kernel gather fusion (opt-in, PCA_FUSED_GATHER): same
+            # construction as sample_and_group, gather done in VMEM
+            from pointcloudattack_tpu.ops.ball_query import (
+                query_ball_point,
+            )
+            from pointcloudattack_tpu.ops.fps import farthest_point_sample
+            from pointcloudattack_tpu.ops.gather import index_points
+            from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+                gather_chain_groupmax,
+                use_gather_chain_kernel,
+            )
+
+            if feats is not None:
+                src = jnp.concatenate([xyz, feats], axis=-1)
+                layout = (("diff", 0, 3, 0), ("pass", 3, src.shape[-1]))
+            else:
+                src, layout = xyz, (("diff", 0, 3, 0),)
+            c0 = sum(s[2] - s[1] for s in layout)
+            if ip or use_gather_chain_kernel(
+                src.shape[1], self.nsample, (c0, *self.mlp), layout
+            ):
+                fps_idx = farthest_point_sample(xyz, self.npoint, key=None)
+                new_xyz = index_points(xyz, fps_idx)
+                idx = query_ball_point(
+                    self.radius, self.nsample, xyz, new_xyz
+                )
+                pd = self.get_variable("params", "mlp")
+                layers = []
+                for i in range(len(self.mlp)):
+                    w = pd[f"dense{i}"]["kernel"]
+                    zero = jnp.zeros((w.shape[1],), w.dtype)
+                    one = jnp.ones((w.shape[1],), w.dtype)
+                    layers.append(
+                        (w, pd[f"dense{i}"]["bias"], zero, one, zero)
+                    )
+                pooled = gather_chain_groupmax(
+                    src, new_xyz, idx, tuple(layers), layout, ip
+                )
+                return new_xyz, nn.relu(pooled).astype(src.dtype)
+
         new_xyz, grouped = sample_and_group(
             self.npoint, self.radius, self.nsample, xyz, feats, key=None
         )
-        ip = FUSED_MAXPOOL["interpret"]
         if (
             not self.is_initializing()
             and FUSED_MAXPOOL["enabled"]

@@ -1,0 +1,517 @@
+"""Pallas TPU kernel: in-kernel neighbour GATHER + MLP chain + max.
+
+The grouped fused chain (dense_max_kernel.mlp_chain_groupmax) removed
+the per-layer [B, G, K, C] maps from HBM, but its INPUT — the grouped
+edge/SA tensor built by gather + subtract-center + concat — is itself
+the largest remaining stream: DGCNN's EdgeConv materializes
+[B, N, k, 2C] per stage (reference model/dgcnn.py:203-227; ~0.7 GB per
+stage at B=32, N=1024, k=20, C=128, f32) and PointNet++'s set
+abstraction materializes [B, S, K, 3+C] (reference
+model/pointnet2_utils.py:107-155), in both directions (forward write +
+read, backward write + scatter-add read).  This kernel constructs the
+grouped rows INSIDE VMEM from the [B, N, C] source features and the
+[B, G, K] neighbour indices, runs the chain + max, and scatters the
+input cotangent back with one-hot transpose matmuls — the only HBM
+traffic is O(B·N·C) source reads and O(B·G·K) index reads.
+
+Row construction is driven by a static ``layout``: a tuple of segments
+  ("diff", src_lo, src_hi, ctr_lo)  gathered src cols minus center cols
+  ("pass", src_lo, src_hi)          gathered src cols as-is
+  ("center", ctr_lo, ctr_hi)        center cols broadcast over K
+concatenated in order.  DGCNN edge features = (("diff", 0, C, 0),
+("center", 0, C)) with centers = the source rows themselves; SSG set
+abstraction = (("diff", 0, 3, 0), ("pass", 3, 3+C)) with centers =
+new_xyz; MSG swaps the two (reference concatenates features first,
+model/pointnet2_MSG.py:45-52).
+
+Numerics — BIT-EXACT forward vs gather-then-mlp_chain_groupmax:
+the gather runs as ONE one-hot MXU matmul against a precomputed bf16
+"gather matrix" holding THREE bit-mask truncation limbs of every
+diff-segment column (8+8+8 significand bits reconstruct the f32
+exactly; one-hot rows select single values, so there is no
+accumulation rounding — the same 3-limb trick as models/dgcnn.py
+``_bf16_limbs``, and the same XLA excess-precision hazard: never build
+limbs with ``x - f32(bf16(x))``) and ONE round-to-nearest bf16 limb of
+every pass-segment column — exactly the truncation the chain's first
+bf16 matmul applies to those columns anyway.  The backward scatters
+the gathered-row cotangent through 3-limb one-hot transpose matmuls
+(f32 accumulation; duplicate indices sum like XLA's scatter-add, in
+matmul reduction order).
+
+Parameter cotangents come from ``jax.vjp`` of the unfused reference —
+dead code in attacks (only d/dx is demanded) and DCE'd by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+    _HAVE_PLTPU,
+    _act,
+    _act_bwd,
+    _dot_bf16,
+    _epilogue,
+    _groups_per_block,
+    _layer_specs,
+)
+
+# layout segment kinds
+_DIFF, _PASS, _CENTER = "diff", "pass", "center"
+
+
+def _layout_widths(layout):
+    """(diff_cols, pass_cols, chain_in_width)."""
+    d = sum(s[2] - s[1] for s in layout if s[0] == _DIFF)
+    p = sum(s[2] - s[1] for s in layout if s[0] == _PASS)
+    c0 = sum(s[2] - s[1] for s in layout)
+    return d, p, c0
+
+
+def _trunc_limbs(x: jax.Array, num: int) -> list[jax.Array]:
+    """Bit-mask truncation limbs (bf16) of f32 ``x`` — the
+    models/dgcnn.py::_bf16_limbs recipe (int mask, never the
+    round-trip subtraction XLA's excess-precision pass folds away)."""
+    x = x.astype(jnp.float32)
+    limbs = []
+    rem = x
+    for _ in range(num - 1):
+        hi = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(rem, jnp.int32)
+            & jnp.int32(-0x10000),
+            jnp.float32,
+        )
+        limbs.append(hi.astype(jnp.bfloat16))
+        rem = rem - hi
+    limbs.append(rem.astype(jnp.bfloat16))
+    return limbs
+
+
+def build_gather_matrix(src: jax.Array, layout) -> jax.Array:
+    """[B, N, 3*D + P] bf16: 3 truncation limbs of every diff column,
+    then 1 round-to-nearest limb of every pass column (identical to the
+    chain's own first-matmul bf16 truncation of those columns)."""
+    diff_cols = [src[..., s[1] : s[2]] for s in layout if s[0] == _DIFF]
+    pass_cols = [src[..., s[1] : s[2]] for s in layout if s[0] == _PASS]
+    parts = []
+    if diff_cols:
+        d = jnp.concatenate(diff_cols, axis=-1)
+        parts.extend(_trunc_limbs(d, 3))
+    if pass_cols:
+        pcat = jnp.concatenate(pass_cols, axis=-1)
+        parts.append(pcat.astype(jnp.bfloat16))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _build_rows(layout, k, gpb, n, d, p, gm, ctr, idxt):
+    """Construct the [gpb*K, C0] chain input rows in VMEM.
+
+    gm [N, 3D+P] bf16 gather matrix, ctr [gpb, Cc] f32 centers,
+    idxt [K, gpb] int32 neighbour indices (transposed — a [K, 1]
+    column slice avoids an in-kernel transpose).  Returns (rows, ohs)
+    where ohs are the per-group one-hot [K, N] bf16 matrices (reused
+    nowhere in fwd, rebuilt in bwd).
+    """
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (k, n), 1)
+    group_rows = []
+    for gi in range(gpb):
+        oh = (idxt[:, gi : gi + 1] == iota_n).astype(jnp.bfloat16)
+        g = _dot_bf16(oh, gm)  # [K, 3D+P] f32
+        if d:
+            exact = g[:, :d] + g[:, d : 2 * d] + g[:, 2 * d : 3 * d]
+        segs = []
+        doff = 0
+        poff = 3 * d
+        for s in layout:
+            w = s[2] - s[1]
+            if s[0] == _DIFF:
+                segs.append(
+                    exact[:, doff : doff + w]
+                    - ctr[gi : gi + 1, s[3] : s[3] + w]
+                )
+                doff += w
+            elif s[0] == _PASS:
+                segs.append(g[:, poff : poff + w])
+                poff += w
+            else:  # center broadcast over K
+                segs.append(
+                    jnp.broadcast_to(
+                        ctr[gi : gi + 1, s[1] : s[2]], (k, w)
+                    )
+                )
+        group_rows.append(jnp.concatenate(segs, axis=-1))
+    return jnp.concatenate(group_rows, axis=0)  # [gpb*K, C0]
+
+
+def _gather_fwd_kernel(
+    layout, k, n, d, p, num_layers, slope,
+    gm_ref, ctr_ref, idxt_ref, *refs,
+):
+    """Grid (B, ng): outputs (y, argmax) [1, gpb, C_L]."""
+    y_ref, idx_out_ref = refs[-2], refs[-1]
+    gpb = y_ref.shape[1]
+    h = _build_rows(
+        layout, k, gpb, n, d, p, gm_ref[0], ctr_ref[0].astype(jnp.float32),
+        idxt_ref[0],
+    )
+    for layer in range(num_layers):
+        w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
+        z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
+        if layer < num_layers - 1:
+            h = _act(z, slope)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (k, z.shape[-1]), 0)
+    ms, idxs = [], []
+    for gi in range(gpb):
+        seg = z[gi * k : (gi + 1) * k]
+        m = jnp.max(seg, axis=0, keepdims=True)
+        idxs.append(
+            jnp.min(jnp.where(seg == m, kiota, k), axis=0, keepdims=True)
+        )
+        ms.append(m)
+    y_ref[0] = jnp.concatenate(ms, axis=0)
+    idx_out_ref[0] = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
+
+
+def _gather_bwd_kernel(
+    layout, k, n, d, p, num_layers, slope,
+    gm_ref, ctr_ref, idxt_ref, idx_ref, *refs,
+):
+    """Grid (B, ng): recompute rows + chain, expand the argmax
+    cotangent, back-prop to the row cotangent, then split it:
+    gathered-column cotangents scatter into the revisited
+    dgather [1, N, D+P] accumulator via 3-limb one-hot transpose
+    matmuls; center cotangents reduce over K into dctr [1, gpb, Cc].
+    """
+    am_ref, g_ref, dg_ref, dctr_ref = refs[-4], refs[-3], refs[-2], refs[-1]
+    j = pl.program_id(1)
+    gpb = g_ref.shape[1]
+    h = _build_rows(
+        layout, k, gpb, n, d, p, gm_ref[0], ctr_ref[0].astype(jnp.float32),
+        idxt_ref[0],
+    )
+    masks = []
+    for layer in range(num_layers - 1):
+        w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
+        z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
+        masks.append(z > 0.0)
+        h = _act(z, slope)
+
+    cout = g_ref.shape[2]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (k, cout), 0)
+    segs = []
+    for gi in range(gpb):
+        hit = am_ref[0, gi][None, :] == kiota
+        segs.append(jnp.where(hit, g_ref[0, gi][None, :], 0.0))
+    c = jnp.concatenate(segs, axis=0)  # [gpb*K, C_L]
+    for layer in range(num_layers - 1, -1, -1):
+        w = refs[5 * layer]
+        dh = _dot_bf16(c, w[...], trans_b=True)
+        if layer > 0:
+            mul_prev = refs[5 * (layer - 1) + 3]
+            c = _act_bwd(dh, masks[layer - 1], slope) * mul_prev[...]
+    # dh [gpb*K, C0]: split by layout — gathered-column cotangents in
+    # (all diff cols, then all pass cols) order to match the fwd gather
+    # matrix; center cotangents reduce over each group's K rows and
+    # embed into [gpb, Cc] via zero-padding concat (segments may
+    # overlap the same center columns, e.g. DGCNN — contributions sum)
+    cc = ctr_ref.shape[2]
+
+    def _ksum(part):  # [gpb*K, w] -> [gpb, w] per-group row sum
+        return jnp.concatenate(
+            [
+                jnp.sum(part[gi * k : (gi + 1) * k], axis=0, keepdims=True)
+                for gi in range(gpb)
+            ],
+            axis=0,
+        )
+
+    def _embed(x, lo):  # [gpb, w] -> [gpb, Cc] at column lo
+        pads = []
+        if lo:
+            pads.append(jnp.zeros((gpb, lo), jnp.float32))
+        pads.append(x)
+        if cc - lo - x.shape[1]:
+            pads.append(jnp.zeros((gpb, cc - lo - x.shape[1]), jnp.float32))
+        return jnp.concatenate(pads, axis=1)
+
+    diff_parts, pass_parts = [], []
+    dctr = jnp.zeros((gpb, cc), dtype=jnp.float32)
+    off = 0
+    for s in layout:
+        w_ = s[2] - s[1]
+        part = dh[:, off : off + w_]
+        if s[0] == _DIFF:
+            diff_parts.append(part)
+            dctr = dctr - _embed(_ksum(part), s[3])
+        elif s[0] == _PASS:
+            pass_parts.append(part)
+        else:
+            dctr = dctr + _embed(_ksum(part), s[1])
+        off += w_
+    dgath = jnp.concatenate(diff_parts + pass_parts, axis=1)
+    dctr_ref[0] = dctr
+
+    # scatter dgath [gpb*K, D+P] into the revisited [N, D+P] accumulator
+    @pl.when(j == 0)
+    def _():
+        dg_ref[0] = jnp.zeros_like(dg_ref[0])
+
+    iota_nk = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0)
+    acc = dg_ref[0]
+    idx3 = idx_ref[0]  # [gpb, K]
+    for gi in range(gpb):
+        ohT = (iota_nk == idx3[gi : gi + 1, :]).astype(jnp.bfloat16)
+        part = dgath[gi * k : (gi + 1) * k]  # [K, D+P] f32
+        for limb in _trunc_limbs(part, 3):
+            acc = acc + _dot_bf16(ohT, limb)
+    dg_ref[0] = acc
+
+
+def _pad_group_arrays(gpb, centers, idx, *extras):
+    """Pad the group axis of centers/idx (+ cotangent-side extras) to a
+    multiple of gpb.  idx pads with 0 (a valid row — padded groups'
+    outputs are sliced off, and their backward cotangent is zero)."""
+    g = idx.shape[1]
+    pad = (-g) % gpb
+    if pad:
+        centers = jnp.pad(centers, ((0, 0), (0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+        extras = tuple(
+            jnp.pad(e, ((0, 0), (0, pad), (0, 0))) for e in extras
+        )
+    return (centers, idx) + extras
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layout", "slope", "interpret")
+)
+def _gather_fwd_pallas(src, centers, idx, layers, layout, slope, interpret):
+    bsz, n, _ = src.shape
+    g, k = idx.shape[1], idx.shape[2]
+    d, p, _ = _layout_widths(layout)
+    cout = layers[-1][0].shape[1]
+    gpb = _groups_per_block(k, g)
+    centers_p, idx_p = _pad_group_arrays(gpb, centers, idx)
+    ng = idx_p.shape[1] // gpb
+    gmat = build_gather_matrix(src, layout)
+    idxt = jnp.swapaxes(idx_p, 1, 2)  # [B, K, G]
+    pspecs, pargs = _layer_specs(layers)
+    kern = functools.partial(
+        _gather_fwd_kernel, layout, k, n, d, p, len(layers), slope
+    )
+    y, am = pl.pallas_call(
+        kern,
+        grid=(bsz, ng),
+        in_specs=[
+            pl.BlockSpec((1, n, gmat.shape[2]), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, gpb, centers.shape[2]), lambda i, j: (i, j, 0)
+            ),
+            pl.BlockSpec((1, k, gpb), lambda i, j: (i, 0, j)),
+            *pspecs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.int32),
+        ],
+        interpret=interpret,
+    )(gmat, centers_p, idxt, *pargs)
+    return y[:, :g], am[:, :g]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layout", "slope", "interpret")
+)
+def _gather_bwd_pallas(
+    src, centers, idx, layers, am, gcot, layout, slope, interpret
+):
+    bsz, n, _ = src.shape
+    g, k = idx.shape[1], idx.shape[2]
+    d, p, _ = _layout_widths(layout)
+    cout = gcot.shape[-1]
+    gpb = _groups_per_block(k, g)
+    centers_p, idx_p, am_p, gcot_p = _pad_group_arrays(
+        gpb, centers, idx, am, gcot.astype(jnp.float32)
+    )
+    ng = idx_p.shape[1] // gpb
+    gmat = build_gather_matrix(src, layout)
+    idxt = jnp.swapaxes(idx_p, 1, 2)
+    pspecs, pargs = _layer_specs(layers)
+    kern = functools.partial(
+        _gather_bwd_kernel, layout, k, n, d, p, len(layers), slope
+    )
+    dgath, dctr = pl.pallas_call(
+        kern,
+        grid=(bsz, ng),
+        in_specs=[
+            pl.BlockSpec((1, n, gmat.shape[2]), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, gpb, centers.shape[2]), lambda i, j: (i, j, 0)
+            ),
+            pl.BlockSpec((1, k, gpb), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, gpb, k), lambda i, j: (i, j, 0)),
+            *pspecs,
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, d + p), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, gpb, centers.shape[2]), lambda i, j: (i, j, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n, d + p), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (bsz, ng * gpb, centers.shape[2]), jnp.float32
+            ),
+        ],
+        interpret=interpret,
+    )(gmat, centers_p, idxt, idx_p, *pargs, am_p, gcot_p)
+    # un-concatenate the gathered-column cotangents back to src columns
+    dsrc = jnp.zeros(src.shape, jnp.float32)
+    doff, poff = 0, d
+    for s in layout:
+        w = s[2] - s[1]
+        if s[0] == _DIFF:
+            dsrc = dsrc.at[..., s[1] : s[2]].add(
+                dgath[..., doff : doff + w]
+            )
+            doff += w
+        elif s[0] == _PASS:
+            dsrc = dsrc.at[..., s[1] : s[2]].add(
+                dgath[..., poff : poff + w]
+            )
+            poff += w
+    return dsrc.astype(src.dtype), dctr[:, :g].astype(centers.dtype)
+
+
+def reference_gather_chain_groupmax(
+    src, centers, idx, layers, layout, slope: float = 0.0
+):
+    """Unfused oracle: XLA gather + row construction + chain + max —
+    the exact op sequence the kernel replaces (gathers reconstruct f32
+    exactly, matching index_points)."""
+    from pointcloudattack_tpu.ops.gather import index_points
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        reference_mlp_chain_groupmax,
+    )
+
+    nbr = index_points(src.astype(jnp.float32), idx)  # [B, G, K, C]
+    k = idx.shape[2]
+    segs = []
+    for s in layout:
+        if s[0] == _DIFF:
+            segs.append(
+                nbr[..., s[1] : s[2]]
+                - centers[:, :, None, s[3] : s[3] + (s[2] - s[1])].astype(
+                    jnp.float32
+                )
+            )
+        elif s[0] == _PASS:
+            # the chain's first matmul truncates these columns to bf16;
+            # pre-truncating here mirrors the kernel's 1-limb gather and
+            # is value-identical through the chain
+            segs.append(nbr[..., s[1] : s[2]])
+        else:
+            segs.append(
+                jnp.broadcast_to(
+                    centers[:, :, None, s[1] : s[2]].astype(jnp.float32),
+                    nbr.shape[:2] + (k, s[2] - s[1]),
+                )
+            )
+    grouped = jnp.concatenate(segs, axis=-1)
+    return reference_mlp_chain_groupmax(grouped, layers, slope)
+
+
+_OP_CACHE: dict = {}
+
+
+def _make_gather_op(layout, slope: float, interpret: bool):
+    @jax.custom_vjp
+    def op(src, centers, idx, layers):
+        y, _ = _gather_fwd_pallas(
+            src, centers, idx, layers, layout, slope, interpret
+        )
+        return y
+
+    def fwd(src, centers, idx, layers):
+        y, am = _gather_fwd_pallas(
+            src, centers, idx, layers, layout, slope, interpret
+        )
+        return y, (src, centers, idx, layers, am)
+
+    def bwd(res, dy):
+        src, centers, idx, layers, am = res
+        dy = dy.astype(jnp.float32)
+        mul_last = layers[-1][3].astype(jnp.float32)
+        g = dy * mul_last[None, None, :]
+        dsrc, dctr = _gather_bwd_pallas(
+            src, centers, idx, layers, am, g, layout, slope, interpret
+        )
+        _, ref_vjp = jax.vjp(
+            lambda ls: reference_gather_chain_groupmax(
+                src, centers, idx, ls, layout, slope
+            ),
+            layers,
+        )
+        (dlayers,) = ref_vjp(dy)
+        dlayers = jax.tree_util.tree_map(
+            lambda cot, prim: cot.astype(prim.dtype), dlayers, layers
+        )
+        return dsrc, dctr, None, dlayers
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def gather_chain_groupmax(
+    src, centers, idx, layers, layout,
+    interpret: bool = False, slope: float = 0.0,
+):
+    """In-kernel gather + L-layer chain + max over neighbours.
+
+    src [B, N, Cs], centers [B, G, Cc], idx [B, G, K] int32 ->
+    [B, G, C_L] f32.  ``layout`` (static tuple, see module docstring)
+    defines the chain input columns; ``layers`` as in
+    mlp_chain_maxpool; ``slope`` the inter-layer activation.  No
+    [B, G, K, *] tensor — grouped input or layer map — touches HBM in
+    either direction.
+    """
+    key = (layout, float(slope), bool(interpret))
+    if key not in _OP_CACHE:
+        _OP_CACHE[key] = _make_gather_op(
+            layout, float(slope), bool(interpret)
+        )
+    return _OP_CACHE[key](
+        src, centers, idx, tuple(tuple(l) for l in layers)
+    )
+
+
+def use_gather_chain_kernel(
+    n: int, k: int, dims: tuple[int, ...], layout
+) -> bool:
+    """Dispatch gate: the base grouped-chain gate plus gather-side VMEM
+    bounds (one-hot [K·gpb, N] and gather matrix [N, 3D+P] must sit in
+    VMEM next to the weights)."""
+    from pointcloudattack_tpu.ops.backend import use_mosaic_kernels
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        use_group_chain_kernel,
+    )
+
+    if not _HAVE_PLTPU:
+        return False
+    if not use_group_chain_kernel(k, dims):
+        return False
+    d, p, _ = _layout_widths(layout)
+    if n > 4096 or n * (3 * d + p) * 2 > 8 * 1024 * 1024:
+        return False
+    return use_mosaic_kernels()

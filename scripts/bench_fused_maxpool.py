@@ -99,8 +99,17 @@ def main():
         print(json.dumps({args.arm: run_arm(args.victim)}))
         return
     results = {"victim": args.victim}
-    for arm, env in (("fused_on", "1"), ("fused_off", "0")):
-        e = dict(os.environ, PCA_FUSED_MAXPOOL=env)
+    arms = [("fused_on", {"PCA_FUSED_MAXPOOL": "1"}),
+            ("fused_off", {"PCA_FUSED_MAXPOOL": "0"})]
+    if args.victim in ("ssg", "dgcnn"):
+        # in-kernel gather fusion rides on top of the fused chain —
+        # only meaningful for grouped victims (PCA_FUSED_GATHER opt-in)
+        arms.insert(0, (
+            "gather_on",
+            {"PCA_FUSED_MAXPOOL": "1", "PCA_FUSED_GATHER": "1"},
+        ))
+    for arm, env in arms:
+        e = dict(os.environ, **env)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--arm", "on",
              "--victim", args.victim],

@@ -146,6 +146,33 @@ def main():
         out[model_key] = r
         ok = ok and r["pass"]
         print(f"# {model_key}: {r}", file=sys.stderr, flush=True)
+
+    # screen the opt-in in-kernel gather fusion on the grouped victims
+    # (its A/B decision needs parity evidence on real hardware too)
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    FUSED_MAXPOOL["gather"] = True
+    try:
+        for model_key, batch, n in VICTIMS:
+            # only SA/EdgeConv victims have the gather fusion wired
+            if model_key not in (
+                "PointNet++Ssg", "PointNet++Msg", "DGCNN"
+            ):
+                continue
+            tag = f"{model_key}+gather"
+            try:
+                r = run_victim(model_key, batch, n, thresholds)
+            except Exception as e:
+                r = {
+                    "error": f"{type(e).__name__}: {e}"[:200],
+                    "pass": False,
+                }
+            out[tag] = r
+            ok = ok and r["pass"]
+            print(f"# {tag}: {r}", file=sys.stderr, flush=True)
+    finally:
+        FUSED_MAXPOOL["gather"] = False
+
     out["all_pass"] = ok
     print(json.dumps(out))
     return 0 if ok else 1

@@ -1,0 +1,234 @@
+"""In-kernel gather fusion (ops/pallas/gather_chain_kernel.py).
+
+Contract: with the gather fused into the grouped chain kernel, the
+FORWARD is bit-exact vs gather-then-mlp_chain_groupmax (the 3-limb
+gather reconstructs diffed columns exactly; the 1-limb pass gather
+applies exactly the bf16 truncation the chain's first matmul would),
+and input gradients agree to f32 accumulation order (the cotangent
+scatter runs as 3-limb one-hot transpose matmuls — exact values,
+matmul reduction order).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloudattack_tpu.ops.gather import index_points
+from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+    mlp_chain_groupmax,
+)
+from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+    build_gather_matrix,
+    gather_chain_groupmax,
+)
+
+
+def _mk_layers(rng, dims):
+    layers = []
+    for cin, cout in zip(dims[:-1], dims[1:]):
+        layers.append((
+            jnp.asarray(rng.randn(cin, cout).astype(np.float32)) * 0.2,
+            jnp.asarray(rng.randn(cout).astype(np.float32)) * 0.1,
+            jnp.asarray(rng.randn(cout).astype(np.float32)) * 0.1,
+            jnp.asarray(1.0 + 0.1 * rng.randn(cout).astype(np.float32)),
+            jnp.asarray(rng.randn(cout).astype(np.float32)) * 0.1,
+        ))
+    return tuple(layers)
+
+
+def _sa_case(seed=0, b=2, n=128, g=32, k=16, cp=32):
+    rng = np.random.RandomState(seed)
+    src = jnp.asarray(rng.randn(b, n, 3 + cp).astype(np.float32))
+    centers = jnp.asarray(rng.randn(b, g, 3).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n, (b, g, k)).astype(np.int32))
+    layout = (("diff", 0, 3, 0), ("pass", 3, 3 + cp))
+    layers = _mk_layers(rng, (3 + cp, 64, 64))
+
+    def grouped(s, c):
+        nbr = index_points(s, idx)
+        return jnp.concatenate(
+            [nbr[..., :3] - c[:, :, None, :], nbr[..., 3:]], axis=-1
+        )
+
+    return src, centers, idx, layout, layers, grouped
+
+
+def _edge_case(seed=1, b=2, n=128, k=20, c=64):
+    rng = np.random.RandomState(seed)
+    src = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n, (b, n, k)).astype(np.int32))
+    layout = (("diff", 0, c, 0), ("center", 0, c))
+    layers = _mk_layers(rng, (2 * c, 128))
+
+    def grouped(s):
+        nbr = index_points(s, idx)
+        ctr = jnp.broadcast_to(s[:, :, None, :], nbr.shape)
+        return jnp.concatenate([nbr - ctr, ctr], axis=-1)
+
+    return src, idx, layout, layers, grouped
+
+
+def test_sa_layout_forward_bitexact_and_grads():
+    src, centers, idx, layout, layers, grouped = _sa_case()
+    y = gather_chain_groupmax(
+        src, centers, idx, layers, layout, interpret=True
+    )
+    y_ref = mlp_chain_groupmax(grouped(src, centers), layers, interpret=True)
+    assert bool(jnp.all(y == y_ref))
+
+    def lf(s, c):
+        return jnp.sum(jnp.sin(gather_chain_groupmax(
+            s, c, idx, layers, layout, interpret=True
+        )))
+
+    def lr(s, c):
+        return jnp.sum(jnp.sin(mlp_chain_groupmax(
+            grouped(s, c), layers, interpret=True
+        )))
+
+    (gs, gc) = jax.grad(lf, (0, 1))(src, centers)
+    (gsr, gcr) = jax.grad(lr, (0, 1))(src, centers)
+    np.testing.assert_allclose(gs, gsr, atol=2e-6)
+    # center grads reduce inside one tile — exactly the same sums
+    np.testing.assert_array_equal(gc, gcr)
+
+
+def test_edgeconv_layout_forward_bitexact_and_grads():
+    src, idx, layout, layers, grouped = _edge_case()
+    y = gather_chain_groupmax(
+        src, src, idx, layers, layout, interpret=True, slope=0.2
+    )
+    y_ref = mlp_chain_groupmax(
+        grouped(src), layers, interpret=True, slope=0.2
+    )
+    assert bool(jnp.all(y == y_ref))
+
+    gf = jax.grad(lambda s: jnp.sum(jnp.sin(gather_chain_groupmax(
+        s, s, idx, layers, layout, interpret=True, slope=0.2
+    ))))(src)
+    gu = jax.grad(lambda s: jnp.sum(jnp.sin(mlp_chain_groupmax(
+        grouped(s), layers, interpret=True, slope=0.2
+    ))))(src)
+    np.testing.assert_allclose(gf, gu, atol=1e-5)
+
+
+def test_duplicate_indices_scatter_like_xla():
+    """Ball-query pads short neighbourhoods by repeating the first hit;
+    duplicate indices must max-pool and scatter-add identically."""
+    src, centers, idx, layout, layers, grouped = _sa_case(seed=3, g=16)
+    idx = idx.at[:, :, 1:5].set(idx[:, :, :1])  # heavy duplication
+    y = gather_chain_groupmax(
+        src, centers, idx, layers, layout, interpret=True
+    )
+    nbr = index_points(src, idx)
+    g_ref = jnp.concatenate(
+        [nbr[..., :3] - centers[:, :, None, :], nbr[..., 3:]], axis=-1
+    )
+    y_ref = mlp_chain_groupmax(g_ref, layers, interpret=True)
+    assert bool(jnp.all(y == y_ref))
+
+    def lf(s):
+        return jnp.sum(gather_chain_groupmax(
+            s, centers, idx, layers, layout, interpret=True
+        ) ** 2)
+
+    def lr(s):
+        nb = index_points(s, idx)
+        gg = jnp.concatenate(
+            [nb[..., :3] - centers[:, :, None, :], nb[..., 3:]], axis=-1
+        )
+        return jnp.sum(mlp_chain_groupmax(gg, layers, interpret=True) ** 2)
+
+    np.testing.assert_allclose(
+        jax.grad(lf)(src), jax.grad(lr)(src), atol=2e-5
+    )
+
+
+def test_gather_matrix_limbs_reconstruct_exactly():
+    rng = np.random.RandomState(7)
+    src = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+    layout = (("diff", 0, 5, 0), ("pass", 5, 8))
+    gm = build_gather_matrix(src, layout)
+    assert gm.dtype == jnp.bfloat16
+    assert gm.shape == (2, 64, 3 * 5 + 3)
+    rec = (
+        gm[..., :5].astype(jnp.float32)
+        + gm[..., 5:10].astype(jnp.float32)
+        + gm[..., 10:15].astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(rec, src[..., :5])
+    # pass limb = round-to-nearest bf16, the chain's own truncation
+    np.testing.assert_array_equal(
+        gm[..., 15:], src[..., 5:].astype(jnp.bfloat16)
+    )
+
+
+@pytest.mark.parametrize(
+    "model_key", ["DGCNN", "PointNet++Ssg", "PointNet++Msg"]
+)
+def test_model_forward_bitexact_with_gather_fusion(model_key):
+    from pointcloudattack_tpu import models
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+    model = models.make_model(model_key, 10)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=256, batch=2
+    )
+    fn = make_model_fn(model, variables, jit=False)
+
+    def loss(a):
+        return jnp.sum(fn(a) * jnp.cos(jnp.arange(10.0)))
+
+    prior = dict(FUSED_MAXPOOL)
+    try:
+        FUSED_MAXPOOL["interpret"] = True
+        FUSED_MAXPOOL["gather"] = False
+        y0, g0 = fn(x), jax.grad(loss)(x)
+        FUSED_MAXPOOL["gather"] = True
+        y1, g1 = fn(x), jax.grad(loss)(x)
+    finally:
+        FUSED_MAXPOOL.update(prior)
+    np.testing.assert_array_equal(y0, y1)
+    scale = float(jnp.max(jnp.abs(g0)))
+    np.testing.assert_allclose(g1, g0, atol=2e-3 * scale)
+
+
+def test_punet_forward_bitexact_with_gather_fusion():
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+    from pointcloudattack_tpu.models.punet import PUNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.5)
+    model = PUNet(npoint=128, up_ratio=2)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    prior = dict(FUSED_MAXPOOL)
+    try:
+        FUSED_MAXPOOL["interpret"] = True
+        FUSED_MAXPOOL["gather"] = False
+        y0 = model.apply(variables, x)
+        FUSED_MAXPOOL["gather"] = True
+        y1 = model.apply(variables, x)
+    finally:
+        FUSED_MAXPOOL.update(prior)
+    np.testing.assert_array_equal(y0, y1)
+
+
+def test_bf16_src_smoke():
+    """compute_dtype=bf16 attack path: bf16 sources are a single exact
+    limb; values stay finite and close to the unfused bf16 path."""
+    src, centers, idx, layout, layers, grouped = _sa_case(seed=5)
+    src16, ctr16 = src.astype(jnp.bfloat16), centers.astype(jnp.bfloat16)
+    y = gather_chain_groupmax(
+        src16, ctr16, idx, layers, layout, interpret=True
+    )
+    y_ref = mlp_chain_groupmax(
+        grouped(src16.astype(jnp.float32), ctr16.astype(jnp.float32)),
+        layers, interpret=True,
+    )
+    assert bool(jnp.all(jnp.isfinite(y)))
+    np.testing.assert_allclose(y, y_ref, atol=3e-2)
