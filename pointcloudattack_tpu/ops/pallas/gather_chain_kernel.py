@@ -117,34 +117,42 @@ def _build_rows(layout, k, gpb, n, d, p, gm, ctr, idxt):
     nowhere in fwd, rebuilt in bwd).
     """
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (k, n), 1)
-    group_rows = []
-    for gi in range(gpb):
-        oh = (idxt[:, gi : gi + 1] == iota_n).astype(jnp.bfloat16)
-        g = _dot_bf16(oh, gm)  # [K, 3D+P] f32
-        if d:
-            exact = g[:, :d] + g[:, d : 2 * d] + g[:, 2 * d : 3 * d]
-        segs = []
-        doff = 0
-        poff = 3 * d
-        for s in layout:
-            w = s[2] - s[1]
-            if s[0] == _DIFF:
-                segs.append(
-                    exact[:, doff : doff + w]
-                    - ctr[gi : gi + 1, s[3] : s[3] + w]
-                )
-                doff += w
-            elif s[0] == _PASS:
-                segs.append(g[:, poff : poff + w])
-                poff += w
-            else:  # center broadcast over K
-                segs.append(
-                    jnp.broadcast_to(
-                        ctr[gi : gi + 1, s[1] : s[2]], (k, w)
-                    )
-                )
-        group_rows.append(jnp.concatenate(segs, axis=-1))
-    return jnp.concatenate(group_rows, axis=0)  # [gpb*K, C0]
+    # ONE [gpb*K, N] one-hot matmul per tile (a per-group [K, N] dot
+    # would use K of the MXU's 128 rows — ~16% utilization at k=20)
+    oh = jnp.concatenate(
+        [
+            (idxt[:, gi : gi + 1] == iota_n).astype(jnp.bfloat16)
+            for gi in range(gpb)
+        ],
+        axis=0,
+    )  # [gpb*K, N]
+    g = _dot_bf16(oh, gm)  # [gpb*K, 3D+P] f32
+    if d:
+        exact = g[:, :d] + g[:, d : 2 * d] + g[:, 2 * d : 3 * d]
+
+    def _ctr_rep(lo, w):  # [gpb*K, w]: each group's center row over K
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(ctr[gi : gi + 1, lo : lo + w], (k, w))
+                for gi in range(gpb)
+            ],
+            axis=0,
+        )
+
+    segs = []
+    doff = 0
+    poff = 3 * d
+    for s in layout:
+        w = s[2] - s[1]
+        if s[0] == _DIFF:
+            segs.append(exact[:, doff : doff + w] - _ctr_rep(s[3], w))
+            doff += w
+        elif s[0] == _PASS:
+            segs.append(g[:, poff : poff + w])
+            poff += w
+        else:  # center broadcast over K
+            segs.append(_ctr_rep(s[1], w))
+    return jnp.concatenate(segs, axis=-1)  # [gpb*K, C0]
 
 
 def _gather_fwd_kernel(
@@ -261,13 +269,18 @@ def _gather_bwd_kernel(
         dg_ref[0] = jnp.zeros_like(dg_ref[0])
 
     iota_nk = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0)
-    acc = dg_ref[0]
     idx3 = idx_ref[0]  # [gpb, K]
-    for gi in range(gpb):
-        ohT = (iota_nk == idx3[gi : gi + 1, :]).astype(jnp.bfloat16)
-        part = dgath[gi * k : (gi + 1) * k]  # [K, D+P] f32
-        for limb in _trunc_limbs(part, 3):
-            acc = acc + _dot_bf16(ohT, limb)
+    # one [N, gpb*K] transpose-scatter per limb (not gpb small ones)
+    ohT = jnp.concatenate(
+        [
+            (iota_nk == idx3[gi : gi + 1, :]).astype(jnp.bfloat16)
+            for gi in range(gpb)
+        ],
+        axis=1,
+    )  # [N, gpb*K]
+    acc = dg_ref[0]
+    for limb in _trunc_limbs(dgath, 3):
+        acc = acc + _dot_bf16(ohT, limb)
     dg_ref[0] = acc
 
 
