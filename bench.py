@@ -130,64 +130,56 @@ def bench_cw(compute_dtype=None):
     }
 
 
-def bench_cw_dgcnn():
+def _bench_cw_victim(model_key, seed, gather=False, reps=3):
+    """CW on a grouped-op victim, B=16, 100 iters.  ``gather=True``
+    times the opt-in in-kernel gather fusion (PCA_FUSED_GATHER) — its
+    A/B vs the base family is the decision data for flipping the
+    default (ops/pallas/gather_chain_kernel.py)."""
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    b, iters = 16, 100
+    clouds, labels = make_synthetic_clouds(8, b // 8, NUM_POINTS, seed=seed)
+    data = jnp.asarray(clouds[:b])
+    target = jnp.asarray(labels[:b])
+    model = models.make_model(model_key, NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=2
+    )
+    model_fn = make_model_fn(model, variables)
+    cfg = CWPerturbConfig(
+        binary_step=1, num_iter=iters, kappa=30.0, budget=0.18
+    )
+    attack = build_cw_attack(model_fn, cfg)
+    prior = FUSED_MAXPOOL["gather"]
+    FUSED_MAXPOOL["gather"] = bool(gather)
+    try:
+        dt = _time_enqueued(
+            lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
+            lambda res: res.best_dist,
+            reps=reps,
+        )
+        mfu = _mfu(
+            attack, dt, data, target, jax.random.PRNGKey(0), iters=iters
+        )
+    finally:
+        FUSED_MAXPOOL["gather"] = prior
+    return {
+        "clouds_per_sec": round(b / dt, 3),
+        "sec_per_batch": round(dt, 4),
+        "mfu": mfu,
+    }
+
+
+def bench_cw_dgcnn(gather=False):
     """CW on the heaviest gradient victim (DGCNN, Pallas kNN + bit-exact
-    tri gather via custom_vjp), B=16, 100 iters."""
-    b, iters = 16, 100
-    clouds, labels = make_synthetic_clouds(8, b // 8, NUM_POINTS, seed=3)
-    data = jnp.asarray(clouds[:b])
-    target = jnp.asarray(labels[:b])
-    model = models.make_model("DGCNN", NUM_CLASSES)
-    variables = models.init_model(
-        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=2
-    )
-    model_fn = make_model_fn(model, variables)
-    cfg = CWPerturbConfig(
-        binary_step=1, num_iter=iters, kappa=30.0, budget=0.18
-    )
-    attack = build_cw_attack(model_fn, cfg)
-    dt = _time_enqueued(
-        lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
-        lambda res: res.best_dist,
-    )
-    return {
-        "clouds_per_sec": round(b / dt, 3),
-        "sec_per_batch": round(dt, 4),
-        "mfu": _mfu(
-            attack, dt, data, target, jax.random.PRNGKey(0), iters=iters
-        ),
-    }
+    tri gather via custom_vjp)."""
+    return _bench_cw_victim("DGCNN", seed=3, gather=gather)
 
 
-def bench_cw_ssg():
+def bench_cw_ssg(gather=False):
     """CW on PointNet++ SSG (FPS + ball query + grouped set-abstraction
-    MLPs — the grouped fused chain+max kernel's showcase), B=16, 100
-    iters."""
-    b, iters = 16, 100
-    clouds, labels = make_synthetic_clouds(8, b // 8, NUM_POINTS, seed=6)
-    data = jnp.asarray(clouds[:b])
-    target = jnp.asarray(labels[:b])
-    model = models.make_model("PointNet++Ssg", NUM_CLASSES)
-    variables = models.init_model(
-        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=2
-    )
-    model_fn = make_model_fn(model, variables)
-    cfg = CWPerturbConfig(
-        binary_step=1, num_iter=iters, kappa=30.0, budget=0.18
-    )
-    attack = build_cw_attack(model_fn, cfg)
-    dt = _time_enqueued(
-        lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
-        lambda res: res.best_dist,
-        reps=2,
-    )
-    return {
-        "clouds_per_sec": round(b / dt, 3),
-        "sec_per_batch": round(dt, 4),
-        "mfu": _mfu(
-            attack, dt, data, target, jax.random.PRNGKey(0), iters=iters
-        ),
-    }
+    MLPs — the grouped fused chain+max kernel's showcase)."""
+    return _bench_cw_victim("PointNet++Ssg", seed=6, gather=gather, reps=2)
 
 
 def bench_aof():
@@ -362,7 +354,9 @@ def main():
     for name, fn in (
         ("cw_bf16", lambda: bench_cw(jnp.bfloat16)),
         ("cw_dgcnn", bench_cw_dgcnn),
+        ("cw_dgcnn_gather", lambda: bench_cw_dgcnn(gather=True)),
         ("cw_ssg", bench_cw_ssg),
+        ("cw_ssg_gather", lambda: bench_cw_ssg(gather=True)),
         ("knn", bench_knn),
         ("knn_r5", lambda: bench_knn(nn_refresh=5)),
         ("geoa3", bench_geoa3),
@@ -375,7 +369,13 @@ def main():
             families[name] = {"skipped": "time_budget"}
             continue
         try:
-            families[name] = _run_family(fn)
+            if name.endswith("_gather"):
+                # opt-in experimental arm: a Mosaic rejection here must
+                # NOT disable the (default-on) fused chain kernels for
+                # the remaining families — record the error and move on
+                families[name] = fn()
+            else:
+                families[name] = _run_family(fn)
         except Exception as e:  # keep the headline alive on any breakage
             families[name] = {"error": str(e)[:200]}
 
