@@ -33,7 +33,7 @@ FUSED_MAXPOOL = {
     "enabled": os.environ.get("PCA_FUSED_MAXPOOL", "1") != "0",
     # in-kernel neighbour-gather fusion for grouped chains
     # (ops/pallas/gather_chain_kernel.py) — OPT-IN until its TPU A/B is
-    # measured (scripts/bench_fused_maxpool.py --victim dgcnn/ssg)
+    # measured (bench_fused_maxpool --victim dgcnn/ssg, gather_on arm)
     "gather": os.environ.get("PCA_FUSED_GATHER", "0") == "1",
     "interpret": False,
     # set by retry_without_fused_maxpool when a hardware rejection flips
@@ -53,41 +53,51 @@ def is_mosaic_error(e: BaseException) -> bool:
 
 
 def retry_without_fused_maxpool(run, on_disable=None):
-    """Call ``run()``; on a Mosaic/Pallas failure while the fused
-    chain+pool kernels are enabled, disable them for the REST of the
-    process, drop every cached jitted trace (compiled programs have the
-    kernels baked in), and retry once on the XLA path.
+    """Call ``run()``; on a Mosaic/Pallas failure, de-escalate the
+    fused-kernel knobs one at a time — first the OPT-IN gather fusion
+    ("gather", hardware-untested until its A/B lands), then the
+    default-on chain+pool kernels ("enabled") — dropping every cached
+    jitted trace between retries (compiled programs have the kernels
+    baked in).  Flipping "enabled" first would throw away the
+    measured-good chain kernels when only the experimental gather
+    kernel was rejected.
 
     Mosaic kernel-shape acceptance is per-shape and only observable on
     real TPU hardware, so the dispatch gates
     (dense_max_kernel.use_chain_kernel/use_group_chain_kernel) cannot
-    fully pre-validate; PCA_FUSED_MAXPOOL=0 is the manual kill switch.
-    Unrelated failures (OOM, bad checkpoint path, tunnel drops) are NOT
-    swallowed — they re-raise immediately instead of triggering a
-    full re-run on the slow path with a misattributed cause.  Set
-    PCA_FUSED_FALLBACK_ANY=1 to restore catch-everything insurance.
+    fully pre-validate; PCA_FUSED_MAXPOOL=0 / PCA_FUSED_GATHER=0 are
+    the manual kill switches.  Unrelated failures (OOM, bad checkpoint
+    path, tunnel drops) are NOT swallowed — they re-raise immediately
+    instead of triggering a full re-run on the slow path with a
+    misattributed cause.  Set PCA_FUSED_FALLBACK_ANY=1 to restore
+    catch-everything insurance.
 
-    ``on_disable`` runs after the flag flips (callers clear their own
+    ``on_disable`` runs after each flag flip (callers clear their own
     builder memos there).
     """
-    try:
-        return run()
-    except Exception as e:
-        broad = os.environ.get("PCA_FUSED_FALLBACK_ANY", "0") == "1"
-        if not FUSED_MAXPOOL["enabled"] or not (broad or is_mosaic_error(e)):
-            raise
-        FUSED_MAXPOOL["enabled"] = False
-        FUSED_MAXPOOL["disabled_reason"] = str(e)[:160]
-        jax.clear_caches()
-        if on_disable is not None:
-            on_disable()
-        print(
-            "fused chain+pool kernels disabled after "
-            f"{type(e).__name__}; retrying on the XLA path "
-            f"({str(e)[:120]})",
-            flush=True,
-        )
-        return run()
+    broad = os.environ.get("PCA_FUSED_FALLBACK_ANY", "0") == "1"
+    while True:
+        try:
+            return run()
+        except Exception as e:
+            if not (broad or is_mosaic_error(e)):
+                raise
+            if FUSED_MAXPOOL["gather"]:
+                knob, label = "gather", "in-kernel gather fusion"
+            elif FUSED_MAXPOOL["enabled"]:
+                knob, label = "enabled", "fused chain+pool kernels"
+            else:
+                raise  # every tier already off: a genuine failure
+            FUSED_MAXPOOL[knob] = False
+            FUSED_MAXPOOL["disabled_reason"] = str(e)[:160]
+            jax.clear_caches()
+            if on_disable is not None:
+                on_disable()
+            print(
+                f"{label} disabled after {type(e).__name__}; "
+                f"retrying ({str(e)[:120]})",
+                flush=True,
+            )
 
 
 class PointMLP(nn.Module):

@@ -18,6 +18,10 @@ import jax.numpy as jnp
 from pointcloudattack_tpu.ops.gather import index_points
 from pointcloudattack_tpu.ops.knn import knn
 
+# kept under its historical local name (CLAUDE.md and docstrings cite
+# models/dgcnn.py::_bf16_limbs); shared with the gather-chain kernel
+from pointcloudattack_tpu.ops.limbs import bf16_limbs as _bf16_limbs
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _onehot_limb_gather(x: jax.Array, onehot: jax.Array, num_limbs: int):
@@ -63,34 +67,6 @@ def _onehot_limb_gather_bwd(num_limbs, onehot, cot):
 _onehot_limb_gather.defvjp(_onehot_limb_gather_fwd, _onehot_limb_gather_bwd)
 
 
-def _bf16_limbs(x: jax.Array, num: int) -> list[jax.Array]:
-    """Split f32 ``x`` into ``num`` bf16 limbs with bit-mask truncation.
-
-    The obvious round-trip decomposition ``lo = x - f32(bf16(x))`` is
-    FOLDED TO ZERO by XLA's excess-precision simplifier on TPU (it
-    treats the f32->bf16->f32 round-trip as the identity), silently
-    degrading multi-limb gathers to single-limb bf16.  Masking the low
-    16 mantissa bits instead produces the truncated-bf16 value through
-    integer ops the simplifier cannot fold; the remainder subtraction is
-    exact (same-exponent cancellation), so 3 truncation limbs
-    (8+8+8 significand bits) reconstruct the f32 value exactly.
-    """
-    if x.dtype == jnp.bfloat16:
-        # bf16 inputs (compute_dtype=bf16 path) ARE a single exact limb
-        return [x]
-    x = x.astype(jnp.float32)
-    limbs = []
-    rem = x
-    for _ in range(num - 1):
-        hi = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(rem, jnp.uint32)
-            & jnp.uint32(0xFFFF0000),
-            jnp.float32,
-        )
-        limbs.append(hi.astype(jnp.bfloat16))
-        rem = rem - hi
-    limbs.append(rem.astype(jnp.bfloat16))
-    return limbs
 
 
 def graph_feature(

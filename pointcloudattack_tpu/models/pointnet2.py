@@ -43,15 +43,20 @@ def _collect_layers(parent: nn.Module, name: str, n: int):
 
 
 def _fused_gather_sa(
-    parent: nn.Module, name: str, feats, src, centers, idx, layout, train
+    parent: nn.Module, name: str, feats, src, layout, nsample, train,
+    sample_fn,
 ):
     """Set abstraction with IN-KERNEL neighbour gather: the grouped
     [B, S, K, C] tensor is never materialized — the kernel gathers from
     ``src`` (3-limb exact for diffed xyz, chain-truncation-identical
     bf16 for features), builds the rows in VMEM, runs the MLP chain and
-    the max (ops/pallas/gather_chain_kernel.py).  Returns the pooled
-    [B, S, C_L] (post-ReLU) or None when ineligible.  Opt-in via
-    PCA_FUSED_GATHER (FUSED_MAXPOOL["gather"]).
+    the max (ops/pallas/gather_chain_kernel.py).  Returns
+    (centers, pooled [B, S, C_L] post-ReLU) or None when ineligible.
+    Opt-in via PCA_FUSED_GATHER (FUSED_MAXPOOL["gather"]).
+
+    Every eligibility gate is STATIC (shapes + flags) and evaluated
+    before ``sample_fn() -> (centers, idx)`` runs, so a refused fused
+    path costs no duplicate FPS/ball-query work.
     """
     from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
         gather_chain_groupmax,
@@ -70,12 +75,13 @@ def _fused_gather_sa(
     dims = (c0, *feats)
     if not (
         ip
-        or use_gather_chain_kernel(src.shape[1], idx.shape[2], dims, layout)
+        or use_gather_chain_kernel(src.shape[1], nsample, dims, layout)
     ):
         return None
+    centers, idx = sample_fn()
     layers = _collect_layers(parent, name, len(feats))
     pooled = gather_chain_groupmax(src, centers, idx, layers, layout, ip)
-    return nn.relu(pooled).astype(src.dtype)
+    return centers, nn.relu(pooled).astype(src.dtype)
 
 
 def _fused_group_mlp(parent: nn.Module, name: str, feats, grouped, train):
@@ -140,12 +146,8 @@ class SetAbstraction(nn.Module):
             # in-kernel gather fusion (opt-in): reproduce
             # sample_and_group's exact construction (ops/grouping.py:
             # 39-48 — grouped_xyz - new_xyz first, features after) with
-            # the gather inside the kernel
-            fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
-            new_xyz = index_points(xyz, fps_idx)
-            idx = query_ball_point(
-                self.radius, self.nsample, xyz, new_xyz
-            )
+            # the gather inside the kernel; FPS/ball-query only run
+            # once the static gates have accepted
             if points is not None:
                 src = jnp.concatenate([xyz, points], axis=-1)
                 layout = (
@@ -153,11 +155,23 @@ class SetAbstraction(nn.Module):
                 )
             else:
                 src, layout = xyz, (("diff", 0, 3, 0),)
-            pooled = _fused_gather_sa(
-                self, "mlp", self.mlp, src, new_xyz, idx, layout, train
+
+            def sample_fn():
+                fps_idx = farthest_point_sample(
+                    xyz, self.npoint, key=fps_key
+                )
+                new_xyz = index_points(xyz, fps_idx)
+                idx = query_ball_point(
+                    self.radius, self.nsample, xyz, new_xyz
+                )
+                return new_xyz, idx
+
+            res = _fused_gather_sa(
+                self, "mlp", self.mlp, src, layout, self.nsample, train,
+                sample_fn,
             )
-            if pooled is not None:
-                return new_xyz, pooled
+            if res is not None:
+                return res
         new_xyz, grouped = sample_and_group(
             self.npoint, self.radius, self.nsample, xyz, points,
             key=fps_key,
@@ -202,7 +216,9 @@ class SetAbstractionMSG(nn.Module):
             idx = query_ball_point(radius, k, xyz, new_xyz, sqr=sqr)
             if FUSED_MAXPOOL["gather"]:
                 # reference concatenates FEATURES first, xyz-diff last
-                # (model/pointnet2_MSG.py:45-52)
+                # (model/pointnet2_MSG.py:45-52); new_xyz/idx are
+                # already computed (shared across scales), so the
+                # sample_fn is free
                 if points is not None:
                     src = jnp.concatenate([xyz, points], axis=-1)
                     layout = (
@@ -210,12 +226,12 @@ class SetAbstractionMSG(nn.Module):
                     )
                 else:
                     src, layout = xyz, (("diff", 0, 3, 0),)
-                pooled = _fused_gather_sa(
-                    self, f"branch{i}", self.mlp_list[i], src, new_xyz,
-                    idx, layout, train,
+                res = _fused_gather_sa(
+                    self, f"branch{i}", self.mlp_list[i], src, layout,
+                    k, train, lambda: (new_xyz, idx),
                 )
-                if pooled is not None:
-                    outs.append(pooled)
+                if res is not None:
+                    outs.append(res[1])
                     continue
             grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:

@@ -28,10 +28,10 @@ Numerics — BIT-EXACT forward vs gather-then-mlp_chain_groupmax:
 the gather runs as ONE one-hot MXU matmul against a precomputed bf16
 "gather matrix" holding THREE bit-mask truncation limbs of every
 diff-segment column (8+8+8 significand bits reconstruct the f32
-exactly; one-hot rows select single values, so there is no
-accumulation rounding — the same 3-limb trick as models/dgcnn.py
-``_bf16_limbs``, and the same XLA excess-precision hazard: never build
-limbs with ``x - f32(bf16(x))``) and ONE round-to-nearest bf16 limb of
+exactly; one for bf16 sources; one-hot rows select single values, so
+there is no accumulation rounding — ops/limbs.py::bf16_limbs, with its
+XLA excess-precision hazard: never build limbs with
+``x - f32(bf16(x))``) and ONE round-to-nearest bf16 limb of
 every pass-segment column — exactly the truncation the chain's first
 bf16 matmul applies to those columns anyway.  The backward scatters
 the gathered-row cotangent through 3-limb one-hot transpose matmuls
@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from pointcloudattack_tpu.ops.limbs import bf16_limbs
 from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
     _HAVE_PLTPU,
     _act,
@@ -72,49 +73,37 @@ def _layout_widths(layout):
     return d, p, c0
 
 
-def _trunc_limbs(x: jax.Array, num: int) -> list[jax.Array]:
-    """Bit-mask truncation limbs (bf16) of f32 ``x`` — the
-    models/dgcnn.py::_bf16_limbs recipe (int mask, never the
-    round-trip subtraction XLA's excess-precision pass folds away)."""
-    x = x.astype(jnp.float32)
-    limbs = []
-    rem = x
-    for _ in range(num - 1):
-        hi = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(rem, jnp.int32)
-            & jnp.int32(-0x10000),
-            jnp.float32,
-        )
-        limbs.append(hi.astype(jnp.bfloat16))
-        rem = rem - hi
-    limbs.append(rem.astype(jnp.bfloat16))
-    return limbs
+def _num_limbs(dtype) -> int:
+    """Limbs needed to reconstruct a diff column exactly: bf16 sources
+    (compute_dtype=bf16 attacks) ARE a single exact limb — padding to 3
+    would triple the gather matmul width for all-zero limbs."""
+    return 1 if dtype == jnp.bfloat16 else 3
 
 
 def build_gather_matrix(src: jax.Array, layout) -> jax.Array:
-    """[B, N, 3*D + P] bf16: 3 truncation limbs of every diff column,
-    then 1 round-to-nearest limb of every pass column (identical to the
-    chain's own first-matmul bf16 truncation of those columns)."""
+    """[B, N, nl*D + P] bf16: ``nl = _num_limbs(src.dtype)`` truncation
+    limbs of every diff column (exact reconstruction,
+    ops/limbs.py::bf16_limbs), then 1 round-to-nearest limb of every
+    pass column (identical to the chain's own first-matmul bf16
+    truncation of those columns)."""
     diff_cols = [src[..., s[1] : s[2]] for s in layout if s[0] == _DIFF]
     pass_cols = [src[..., s[1] : s[2]] for s in layout if s[0] == _PASS]
     parts = []
     if diff_cols:
         d = jnp.concatenate(diff_cols, axis=-1)
-        parts.extend(_trunc_limbs(d, 3))
+        parts.extend(bf16_limbs(d, _num_limbs(src.dtype)))
     if pass_cols:
         pcat = jnp.concatenate(pass_cols, axis=-1)
         parts.append(pcat.astype(jnp.bfloat16))
     return jnp.concatenate(parts, axis=-1)
 
 
-def _build_rows(layout, k, gpb, n, d, p, gm, ctr, idxt):
-    """Construct the [gpb*K, C0] chain input rows in VMEM.
+def _build_rows(layout, k, gpb, n, d, nl, gm, ctr, idxt):
+    """Construct and return the [gpb*K, C0] chain input rows in VMEM.
 
-    gm [N, 3D+P] bf16 gather matrix, ctr [gpb, Cc] f32 centers,
+    gm [N, nl*D+P] bf16 gather matrix, ctr [gpb, Cc] f32 centers,
     idxt [K, gpb] int32 neighbour indices (transposed — a [K, 1]
-    column slice avoids an in-kernel transpose).  Returns (rows, ohs)
-    where ohs are the per-group one-hot [K, N] bf16 matrices (reused
-    nowhere in fwd, rebuilt in bwd).
+    column slice avoids an in-kernel transpose).
     """
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (k, n), 1)
     # ONE [gpb*K, N] one-hot matmul per tile (a per-group [K, N] dot
@@ -126,9 +115,11 @@ def _build_rows(layout, k, gpb, n, d, p, gm, ctr, idxt):
         ],
         axis=0,
     )  # [gpb*K, N]
-    g = _dot_bf16(oh, gm)  # [gpb*K, 3D+P] f32
+    g = _dot_bf16(oh, gm)  # [gpb*K, nl*D+P] f32
     if d:
-        exact = g[:, :d] + g[:, d : 2 * d] + g[:, 2 * d : 3 * d]
+        exact = g[:, :d]
+        for li in range(1, nl):
+            exact = exact + g[:, li * d : (li + 1) * d]
 
     def _ctr_rep(lo, w):  # [gpb*K, w]: each group's center row over K
         return jnp.concatenate(
@@ -141,7 +132,7 @@ def _build_rows(layout, k, gpb, n, d, p, gm, ctr, idxt):
 
     segs = []
     doff = 0
-    poff = 3 * d
+    poff = nl * d
     for s in layout:
         w = s[2] - s[1]
         if s[0] == _DIFF:
@@ -156,14 +147,14 @@ def _build_rows(layout, k, gpb, n, d, p, gm, ctr, idxt):
 
 
 def _gather_fwd_kernel(
-    layout, k, n, d, p, num_layers, slope,
+    layout, k, n, d, nl, num_layers, slope,
     gm_ref, ctr_ref, idxt_ref, *refs,
 ):
     """Grid (B, ng): outputs (y, argmax) [1, gpb, C_L]."""
     y_ref, idx_out_ref = refs[-2], refs[-1]
     gpb = y_ref.shape[1]
     h = _build_rows(
-        layout, k, gpb, n, d, p, gm_ref[0], ctr_ref[0].astype(jnp.float32),
+        layout, k, gpb, n, d, nl, gm_ref[0], ctr_ref[0].astype(jnp.float32),
         idxt_ref[0],
     )
     for layer in range(num_layers):
@@ -185,7 +176,7 @@ def _gather_fwd_kernel(
 
 
 def _gather_bwd_kernel(
-    layout, k, n, d, p, num_layers, slope,
+    layout, k, n, d, nl, num_layers, slope,
     gm_ref, ctr_ref, idxt_ref, idx_ref, *refs,
 ):
     """Grid (B, ng): recompute rows + chain, expand the argmax
@@ -198,7 +189,7 @@ def _gather_bwd_kernel(
     j = pl.program_id(1)
     gpb = g_ref.shape[1]
     h = _build_rows(
-        layout, k, gpb, n, d, p, gm_ref[0], ctr_ref[0].astype(jnp.float32),
+        layout, k, gpb, n, d, nl, gm_ref[0], ctr_ref[0].astype(jnp.float32),
         idxt_ref[0],
     )
     masks = []
@@ -279,7 +270,7 @@ def _gather_bwd_kernel(
         axis=1,
     )  # [N, gpb*K]
     acc = dg_ref[0]
-    for limb in _trunc_limbs(dgath, 3):
+    for limb in bf16_limbs(dgath, 3):  # cotangents are f32: 3 limbs
         acc = acc + _dot_bf16(ohT, limb)
     dg_ref[0] = acc
 
@@ -314,7 +305,8 @@ def _gather_fwd_pallas(src, centers, idx, layers, layout, slope, interpret):
     idxt = jnp.swapaxes(idx_p, 1, 2)  # [B, K, G]
     pspecs, pargs = _layer_specs(layers)
     kern = functools.partial(
-        _gather_fwd_kernel, layout, k, n, d, p, len(layers), slope
+        _gather_fwd_kernel, layout, k, n, d, _num_limbs(src.dtype),
+        len(layers), slope
     )
     y, am = pl.pallas_call(
         kern,
@@ -359,7 +351,8 @@ def _gather_bwd_pallas(
     idxt = jnp.swapaxes(idx_p, 1, 2)
     pspecs, pargs = _layer_specs(layers)
     kern = functools.partial(
-        _gather_bwd_kernel, layout, k, n, d, p, len(layers), slope
+        _gather_bwd_kernel, layout, k, n, d, _num_limbs(src.dtype),
+        len(layers), slope
     )
     dgath, dctr = pl.pallas_call(
         kern,
@@ -430,9 +423,9 @@ def reference_gather_chain_groupmax(
                 )
             )
         elif s[0] == _PASS:
-            # the chain's first matmul truncates these columns to bf16;
-            # pre-truncating here mirrors the kernel's 1-limb gather and
-            # is value-identical through the chain
+            # kept f32: the chain's first matmul truncates these
+            # columns to bf16 anyway, which is exactly the kernel's
+            # 1-limb gather — value-identical through the chain
             segs.append(nbr[..., s[1] : s[2]])
         else:
             segs.append(

@@ -99,8 +99,15 @@ def main():
         print(json.dumps({args.arm: run_arm(args.victim)}))
         return
     results = {"victim": args.victim}
-    arms = [("fused_on", {"PCA_FUSED_MAXPOOL": "1"}),
-            ("fused_off", {"PCA_FUSED_MAXPOOL": "0"})]
+    # control arms PIN the gather knob off — inheriting an exported
+    # PCA_FUSED_GATHER=1 would make gather_on and fused_on measure the
+    # same configuration and zero out the A/B delta
+    arms = [
+        ("fused_on",
+         {"PCA_FUSED_MAXPOOL": "1", "PCA_FUSED_GATHER": "0"}),
+        ("fused_off",
+         {"PCA_FUSED_MAXPOOL": "0", "PCA_FUSED_GATHER": "0"}),
+    ]
     if args.victim in ("ssg", "dgcnn"):
         # in-kernel gather fusion rides on top of the fused chain —
         # only meaningful for grouped victims (PCA_FUSED_GATHER opt-in)

@@ -628,6 +628,49 @@ def test_fused_fallback_disables_and_retries():
         FUSED_MAXPOOL["enabled"] = prior
 
 
+def test_fused_fallback_deescalates_gather_first():
+    """With the opt-in gather fusion on, a Mosaic failure disables the
+    gather tier FIRST and only escalates to the default-on chain
+    kernels if the failure persists — a rejected experimental kernel
+    must not throw away the measured-good chain kernels."""
+    from pointcloudattack_tpu.cli.main import _attack_with_fused_fallback
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    prior = dict(FUSED_MAXPOOL)
+    FUSED_MAXPOOL["enabled"] = True
+    FUSED_MAXPOOL["gather"] = True
+    states = []
+    try:
+        # failure disappears once gather is off: chain kernels survive
+        def run_gather_bad():
+            states.append(
+                (FUSED_MAXPOOL["gather"], FUSED_MAXPOOL["enabled"])
+            )
+            if FUSED_MAXPOOL["gather"]:
+                raise RuntimeError("Mosaic lowering failed for kernel")
+            return "ok"
+
+        assert _attack_with_fused_fallback(run_gather_bad) == "ok"
+        assert states == [(True, True), (False, True)]
+        assert FUSED_MAXPOOL["enabled"]
+
+        # persistent failure escalates tier by tier, then re-raises
+        FUSED_MAXPOOL["gather"] = True
+        states.clear()
+
+        def run_always_bad():
+            states.append(
+                (FUSED_MAXPOOL["gather"], FUSED_MAXPOOL["enabled"])
+            )
+            raise RuntimeError("Mosaic lowering failed for kernel")
+
+        with pytest.raises(RuntimeError, match="Mosaic"):
+            _attack_with_fused_fallback(run_always_bad)
+        assert states == [(True, True), (False, True), (False, False)]
+    finally:
+        FUSED_MAXPOOL.update(prior)
+
+
 def test_fused_fallback_reraises_unrelated_errors(monkeypatch):
     """A failure that is NOT a Mosaic/Pallas rejection must re-raise
     immediately (not silently disable the kernels and re-run a possibly
