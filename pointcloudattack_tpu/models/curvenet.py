@@ -90,6 +90,57 @@ class LPFA(nn.Module):
     ) -> jax.Array:
         if idx is None:
             idx = knn(xyz, self.k + 1)[:, :, : self.k]
+
+        def _chain_layers():
+            layers = []
+            for i in range(self.mlp_num):
+                pd = self.get_variable("params", f"mlp{i}")
+                st = self.get_variable("batch_stats", f"mlp{i}")
+                w = pd["Dense_0"]["kernel"]
+                mul = jax.lax.rsqrt(
+                    st["BatchNorm_0"]["var"] + 1e-5
+                ) * pd["BatchNorm_0"]["scale"]
+                layers.append((
+                    w, jnp.zeros((w.shape[1],), w.dtype),
+                    st["BatchNorm_0"]["mean"], mul,
+                    pd["BatchNorm_0"]["bias"],
+                ))
+            return tuple(layers)
+
+        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+        if (
+            self.initial
+            and not train
+            and not self.is_initializing()
+            and FUSED_MAXPOOL["enabled"]
+            and FUSED_MAXPOOL["gather"]
+        ):
+            # in-kernel gather fusion (opt-in) for the INITIAL block:
+            # point_feature = [ctr_xyz, nbr_xyz, nbr_xyz - ctr_xyz]
+            # (reference curvenet_util.py:203-213) maps onto the layout
+            # spec directly, centers = the points themselves.  Residual
+            # blocks can't fuse the gather — their row construction
+            # runs a learned Dense (xyz2feature) before the chain.
+            from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+                gather_chain_groupmax,
+                use_gather_chain_kernel,
+            )
+
+            layout = (("center", 0, 3), ("pass", 0, 3), ("diff", 0, 3, 0))
+            ipg = FUSED_MAXPOOL["interpret"]
+            gdims = (9,) + (self.out_channel,) * self.mlp_num
+            if ipg or use_gather_chain_kernel(
+                xyz.shape[1], self.k, gdims, layout
+            ):
+                pooled = gather_chain_groupmax(
+                    xyz, xyz, idx, _chain_layers(), layout, ipg,
+                    slope=0.2,
+                )
+                return nn.leaky_relu(
+                    pooled, negative_slope=0.2
+                ).astype(xyz.dtype)
+
         nbr_xyz = index_points(xyz, idx)  # [B, N, k, 3]
         ctr_xyz = jnp.broadcast_to(xyz[:, :, None, :], nbr_xyz.shape)
         point_feature = jnp.concatenate(
@@ -131,19 +182,7 @@ class LPFA(nn.Module):
             and FUSED_MAXPOOL["enabled"]
             and (ip or use_group_chain_kernel(self.k, dims))
         ):
-            layers = []
-            for i in range(self.mlp_num):
-                pd = self.get_variable("params", f"mlp{i}")
-                st = self.get_variable("batch_stats", f"mlp{i}")
-                w = pd["Dense_0"]["kernel"]
-                mul = jax.lax.rsqrt(
-                    st["BatchNorm_0"]["var"] + 1e-5
-                ) * pd["BatchNorm_0"]["scale"]
-                layers.append((
-                    w, jnp.zeros((w.shape[1],), w.dtype),
-                    st["BatchNorm_0"]["mean"], mul,
-                    pd["BatchNorm_0"]["bias"],
-                ))
+            layers = _chain_layers()
             if self.initial:
                 pooled = mlp_chain_groupmax(
                     h, tuple(layers), ip, 0.2

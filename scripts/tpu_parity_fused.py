@@ -154,10 +154,9 @@ def main():
     FUSED_MAXPOOL["gather"] = True
     try:
         for model_key, batch, n in VICTIMS:
-            # only SA/EdgeConv victims have the gather fusion wired
-            if model_key not in (
-                "PointNet++Ssg", "PointNet++Msg", "DGCNN"
-            ):
+            # only grouped-op victims have the gather fusion wired
+            # (CurveNet: initial LPFA block only)
+            if model_key == "PointNet":
                 continue
             tag = f"{model_key}+gather"
             try:

@@ -165,7 +165,7 @@ def test_gather_matrix_limbs_reconstruct_exactly():
 
 
 @pytest.mark.parametrize(
-    "model_key", ["DGCNN", "PointNet++Ssg", "PointNet++Msg"]
+    "model_key", ["DGCNN", "PointNet++Ssg", "PointNet++Msg", "CurveNet"]
 )
 def test_model_forward_bitexact_with_gather_fusion(model_key):
     from pointcloudattack_tpu import models
