@@ -22,6 +22,13 @@ import os
 import sys
 import time
 
+# pin the platform BEFORE the persistent cache decides (it skips itself
+# on pinned-CPU runs — XLA:CPU AOT entries are not host-portable)
+if os.environ.get("PCA_BENCH_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["PCA_BENCH_PLATFORM"])
+
 from pointcloudattack_tpu.utils.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -64,6 +71,15 @@ NUM_POINTS = 1024
 BATCH = 64  # throughput peak on v5e (see batch sweep: 64 > 32/128/256)
 NUM_ITER = 200
 BINARY_STEPS = 1  # 200 optimization steps total, per the baseline config
+
+# PCA_BENCH_SMOKE=1: tiny shapes/iters — a CPU-runnable "does every
+# family still build and run end-to-end" screen for THIS harness (the
+# real numbers need the TPU; a bench.py bug must not surface for the
+# first time at the end-of-round driver run).  Combine with
+# PCA_BENCH_PLATFORM=cpu so a down axon tunnel can't stall the screen.
+_SMOKE = os.environ.get("PCA_BENCH_SMOKE", "0") == "1"
+if _SMOKE:
+    NUM_POINTS, BATCH, NUM_ITER = 128, 4, 3
 
 # v5e bf16 MXU peak; f32/HIGHEST matmuls run as multi-pass emulation, so
 # MFU computed against this peak is conservative
@@ -137,8 +153,8 @@ def _bench_cw_victim(model_key, seed, gather=False, reps=3):
     default (ops/pallas/gather_chain_kernel.py)."""
     from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
 
-    b, iters = 16, 100
-    clouds, labels = make_synthetic_clouds(8, b // 8, NUM_POINTS, seed=seed)
+    b, iters = (4, 3) if _SMOKE else (16, 100)
+    clouds, labels = make_synthetic_clouds(8, max(1, b // 8), NUM_POINTS, seed=seed)
     data = jnp.asarray(clouds[:b])
     target = jnp.asarray(labels[:b])
     model = models.make_model(model_key, NUM_CLASSES)
@@ -185,7 +201,7 @@ def bench_cw_ssg(gather=False):
 def bench_aof():
     from pointcloudattack_tpu.attacks.aof import AOFConfig, build_aof_attack
 
-    b = 8
+    b = 4 if _SMOKE else 8
     clouds, labels = make_synthetic_clouds(8, 1, NUM_POINTS, seed=1)
     data = jnp.asarray(clouds[:b])
     target = jnp.asarray(labels[:b])
@@ -194,7 +210,10 @@ def bench_aof():
         model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=b
     )
     model_fn = make_model_fn(model, variables)
-    cfg = AOFConfig(binary_step=2, num_iter=100, kappa=0.0, budget=0.45)
+    cfg = AOFConfig(
+        binary_step=2, num_iter=3 if _SMOKE else 100, kappa=0.0,
+        budget=0.45, low_pass=16 if _SMOKE else 100,
+    )
     attack = build_aof_attack(model_fn, cfg)
     dt = _time_enqueued(
         lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
@@ -231,7 +250,8 @@ def bench_knn(iters: int = 2500, nn_refresh: int = 1):
     )
     model_fn = make_model_fn(model, variables)
     cfg = KNNAttackConfig(
-        num_iter=iters, kappa=30.0, budget=0.18, nn_refresh=nn_refresh
+        num_iter=3 if _SMOKE else iters, kappa=30.0, budget=0.18,
+        nn_refresh=nn_refresh,
     )
     attack = build_knn_attack(model_fn, cfg)
     dt = _time_enqueued(
@@ -268,7 +288,8 @@ def bench_geoa3(curv_knn_refresh: int = 1):
     )
     model_fn = make_model_fn(model, variables)
     cfg = GeoA3Config(
-        binary_max_steps=10, iter_max_steps=500,
+        binary_max_steps=2 if _SMOKE else 10,
+        iter_max_steps=3 if _SMOKE else 500,
         curv_knn_refresh=curv_knn_refresh,
     )
     attack = build_geoa3_attack(model_fn, cfg)
@@ -295,8 +316,8 @@ def bench_si_ifgm(normal_refresh: int = 1):
         build_si_ifgm,
     )
 
-    b = 64
-    clouds, labels = make_synthetic_clouds(8, b // 8, NUM_POINTS, seed=2)
+    b = BATCH if _SMOKE else 64
+    clouds, labels = make_synthetic_clouds(8, max(1, b // 8), NUM_POINTS, seed=2)
     data = jnp.asarray(clouds[:b])
     target = jnp.asarray(labels[:b])
     model = models.make_model("PointNet", NUM_CLASSES)
@@ -304,7 +325,8 @@ def bench_si_ifgm(normal_refresh: int = 1):
         model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=b
     )
     model_fn = make_model_fn(model, variables)
-    cfg = SIAdvConfig(eps=0.18, step_size=0.007, max_steps=50,
+    cfg = SIAdvConfig(eps=0.18, step_size=0.007,
+                      max_steps=3 if _SMOKE else 50,
                       normal_refresh=normal_refresh)
     attack = build_si_ifgm(model_fn, model_fn, cfg)
     dt = _time_enqueued(
