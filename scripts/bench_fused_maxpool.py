@@ -24,6 +24,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# invoked as `python scripts/bench_fused_maxpool.py`, sys.path[0] is
+# scripts/ — the package lives at the repo root (no installer)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 VICTIMS = {
@@ -33,8 +37,18 @@ VICTIMS = {
     "dgcnn": ("DGCNN", 16, 100, ("f32",)),
 }
 
+# PCA_BENCH_SMOKE=1 + PCA_BENCH_PLATFORM=cpu: tiny harness screen (see
+# bench.py) — validates all arms build/run without the TPU
+_SMOKE = os.environ.get("PCA_BENCH_SMOKE", "0") == "1"
+
 
 def run_arm(victim: str = "pointnet") -> dict:
+    if os.environ.get("PCA_BENCH_PLATFORM"):
+        import jax
+
+        jax.config.update(
+            "jax_platforms", os.environ["PCA_BENCH_PLATFORM"]
+        )
     from pointcloudattack_tpu.utils.compile_cache import (
         enable_persistent_cache,
     )
@@ -55,6 +69,8 @@ def run_arm(victim: str = "pointnet") -> dict:
 
     model_key, B, ITERS, dtypes = VICTIMS[victim]
     N = 1024
+    if _SMOKE:
+        B, ITERS, N = 4, 3, 128
     clouds, labels = make_synthetic_clouds(40, 2, N, seed=0)
     data = jnp.asarray(clouds[:B])
     target = jnp.asarray(labels[:B])

@@ -20,7 +20,14 @@ Auto-runs first in scripts/tpu_session.sh's `fused` step.
 """
 
 import json
+import os
 import sys
+
+# invoked as `python scripts/tpu_parity_fused.py` (tpu_session.sh):
+# sys.path[0] is scripts/ — the package lives at the repo root
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 # On TPU both arms truncate matmul operands to bf16 with f32
 # accumulation (the kernel explicitly; XLA's DEFAULT f32-dot precision
