@@ -19,15 +19,15 @@ for s in $steps; do
       # hardware numeric parity FIRST: a Mosaic kernel can compile and
       # run while producing wrong numbers — screen before timing
       echo "== fused hardware parity ==" >&2
-      timeout 3000 python scripts/tpu_parity_fused.py \
+      timeout 5400 python scripts/tpu_parity_fused.py \
         | tee /tmp/fused_parity.json \
         || echo "PARITY FAILED — treat A/B below as suspect" >&2
       echo "== fused A/B ==" >&2
-      timeout 3000 python scripts/bench_fused_maxpool.py | tee /tmp/fused_ab.json
+      timeout 5400 python scripts/bench_fused_maxpool.py | tee /tmp/fused_ab.json
       ;;
     parity)
       echo "== fused hardware parity ==" >&2
-      timeout 3000 python scripts/tpu_parity_fused.py | tee /tmp/fused_parity.json
+      timeout 5400 python scripts/tpu_parity_fused.py | tee /tmp/fused_parity.json
       ;;
     bench)
       echo "== bench.py ==" >&2
@@ -35,12 +35,12 @@ for s in $steps; do
       ;;
     ab_ssg)
       echo "== fused A/B (ssg) ==" >&2
-      timeout 3000 python scripts/bench_fused_maxpool.py --victim ssg \
+      timeout 4800 python scripts/bench_fused_maxpool.py --victim ssg \
         | tee /tmp/fused_ab_ssg.json
       ;;
     ab_dgcnn)
       echo "== fused A/B (dgcnn) ==" >&2
-      timeout 3000 python scripts/bench_fused_maxpool.py --victim dgcnn \
+      timeout 4800 python scripts/bench_fused_maxpool.py --victim dgcnn \
         | tee /tmp/fused_ab_dgcnn.json
       ;;
     *) echo "unknown step: $s" >&2 ;;
