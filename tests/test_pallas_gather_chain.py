@@ -218,6 +218,38 @@ def test_punet_forward_bitexact_with_gather_fusion():
     np.testing.assert_array_equal(y0, y1)
 
 
+def test_model_bf16_gather_path():
+    """compute_dtype=bf16 victim through the gather-fused SA wiring:
+    single-limb gather matrix, outputs finite and close to the
+    unfused bf16 path."""
+    from pointcloudattack_tpu import models
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+    model = models.make_model("PointNet++Ssg", 10)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=256, batch=2
+    )
+    fn = make_model_fn(
+        model, variables, compute_dtype=jnp.bfloat16, jit=False
+    )
+    prior = dict(FUSED_MAXPOOL)
+    try:
+        FUSED_MAXPOOL["interpret"] = True
+        FUSED_MAXPOOL["gather"] = False
+        y0 = fn(x)
+        FUSED_MAXPOOL["gather"] = True
+        y1 = fn(x)
+    finally:
+        FUSED_MAXPOOL.update(prior)
+    assert bool(jnp.all(jnp.isfinite(y1)))
+    np.testing.assert_allclose(
+        np.asarray(y1, np.float32), np.asarray(y0, np.float32), atol=0.1
+    )
+
+
 def test_bf16_src_smoke():
     """compute_dtype=bf16 attack path: bf16 sources are a single exact
     limb; values stay finite and close to the unfused bf16 path."""
