@@ -218,6 +218,67 @@ def test_punet_forward_bitexact_with_gather_fusion():
     np.testing.assert_array_equal(y0, y1)
 
 
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_random_layouts(case):
+    """Random layout/shape/slope cases: forward stays bit-exact vs the
+    fused grouped kernel on an XLA-built grouped tensor."""
+    rng = np.random.RandomState(100 + case)
+    n = int(rng.choice([96, 160, 256]))
+    g = int(rng.choice([16, 24, 48]))
+    k = int(rng.choice([8, 12, 20, 33]))
+    cs = int(rng.choice([6, 19, 40]))
+    slope = float(rng.choice([0.0, 0.2]))
+    nd = int(rng.randint(1, min(cs, 8)))  # diff width
+    layout = [("diff", 0, nd, 0)]
+    if cs > nd:
+        layout.append(("pass", nd, cs))
+    if rng.rand() < 0.5:
+        layout.append(("center", 0, nd))
+    layout = tuple(layout)
+    cc = nd  # centers carry the diff columns
+    c0 = sum(s[2] - s[1] for s in layout)
+    src = jnp.asarray(rng.randn(2, n, cs).astype(np.float32))
+    centers = jnp.asarray(rng.randn(2, g, cc).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n, (2, g, k)).astype(np.int32))
+    layers = _mk_layers(rng, (c0, 64))
+
+    def grouped(s, c):
+        nbr = index_points(s, idx)
+        segs = []
+        for sg in layout:
+            if sg[0] == "diff":
+                segs.append(
+                    nbr[..., sg[1] : sg[2]]
+                    - c[:, :, None, sg[3] : sg[3] + sg[2] - sg[1]]
+                )
+            elif sg[0] == "pass":
+                segs.append(nbr[..., sg[1] : sg[2]])
+            else:
+                segs.append(
+                    jnp.broadcast_to(
+                        c[:, :, None, sg[1] : sg[2]],
+                        (2, g, k, sg[2] - sg[1]),
+                    )
+                )
+        return jnp.concatenate(segs, axis=-1)
+
+    y = gather_chain_groupmax(
+        src, centers, idx, layers, layout, interpret=True, slope=slope
+    )
+    y_ref = mlp_chain_groupmax(
+        grouped(src, centers), layers, interpret=True, slope=slope
+    )
+    assert bool(jnp.all(y == y_ref)), (n, g, k, cs, layout, slope)
+
+    gf = jax.grad(lambda s: jnp.sum(jnp.sin(gather_chain_groupmax(
+        s, centers, idx, layers, layout, interpret=True, slope=slope
+    ))))(src)
+    gu = jax.grad(lambda s: jnp.sum(jnp.sin(mlp_chain_groupmax(
+        grouped(s, centers), layers, interpret=True, slope=slope
+    ))))(src)
+    np.testing.assert_allclose(gf, gu, atol=2e-5)
+
+
 def test_model_bf16_gather_path():
     """compute_dtype=bf16 victim through the gather-fused SA wiring:
     single-limb gather matrix, outputs finite and close to the
