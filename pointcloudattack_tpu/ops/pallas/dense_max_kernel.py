@@ -76,7 +76,11 @@ def _epilogue(z, b_ref, mean_ref, mul_ref, beta_ref):
 
 def _chain_fwd_kernel(n, num_layers, x_ref, *refs):
     """Grid (B, nt): x [1, T, C0]; 5 param refs per layer; outputs
-    (y [1, C_L], idx [1, C_L]) revisited across nt with running max."""
+    (y [1, 1, C_L], idx [1, 1, C_L]) revisited across nt with running
+    max.  The pooled outputs carry a singleton row axis so the block's
+    trailing two dims are (1, C_L) == the overall dims — Mosaic rejects
+    a (1, C_L) block over a [B, C_L] array when B > 1 (sublane dim
+    neither 8-divisible nor equal to the overall)."""
     y_ref, idx_ref = refs[-2], refs[-1]
     j = pl.program_id(1)
     t = x_ref.shape[1]
@@ -98,23 +102,24 @@ def _chain_fwd_kernel(n, num_layers, x_ref, *refs):
 
     @pl.when(j == 0)
     def _():
-        y_ref[...] = tile_max
-        idx_ref[...] = tile_arg
+        y_ref[0] = tile_max
+        idx_ref[0] = tile_arg
 
     @pl.when(j > 0)
     def _():
-        prev = y_ref[...]
+        prev = y_ref[0]
         better = tile_max > prev  # strict: ties keep the earlier row
-        y_ref[...] = jnp.where(better, tile_max, prev)
-        idx_ref[...] = jnp.where(better, tile_arg, idx_ref[...])
+        y_ref[0] = jnp.where(better, tile_max, prev)
+        idx_ref[0] = jnp.where(better, tile_arg, idx_ref[0])
 
 
 def _chain_bwd_kernel(num_layers, x_ref, *refs):
     """Grid (B, nt): recompute the tile's pre-pool chain, expand the
     sparse argmax cotangent, and back-propagate to dx — all in VMEM.
 
-    refs: 5 param refs per layer, then idx [1, C_L], g [1, C_L]
-    (g = dy * mul_L, the cotangent at the winner's final matmul output),
+    refs: 5 param refs per layer, then idx [1, 1, C_L], g [1, 1, C_L]
+    (g = dy * mul_L, the cotangent at the winner's final matmul output;
+    singleton row axis for the same Mosaic block-shape rule as the fwd),
     then the dx [1, T, C0] output.
     """
     idx_ref, g_ref, dx_ref = refs[-3], refs[-2], refs[-1]
@@ -130,10 +135,10 @@ def _chain_bwd_kernel(num_layers, x_ref, *refs):
         h = jnp.maximum(z, 0.0)
 
     rows = jax.lax.broadcasted_iota(
-        jnp.int32, (t, g_ref.shape[1]), 0
+        jnp.int32, (t, g_ref.shape[-1]), 0
     )
-    hit = idx_ref[...] == rows + j * t  # [T, C_L]
-    c = jnp.where(hit, g_ref[...], 0.0)  # cotangent at final dot, f32
+    hit = idx_ref[0] == rows + j * t  # [T, C_L] via [1, C_L] broadcast
+    c = jnp.where(hit, g_ref[0], 0.0)  # cotangent at final dot, f32
     for layer in range(num_layers - 1, -1, -1):
         w = refs[5 * layer]
         dh = _dot_bf16(c, w[...], trans_b=True)  # [T, C_{layer-1}]
@@ -180,16 +185,16 @@ def _chain_fwd_pallas(x, layers, interpret=False):
             *pspecs,
         ],
         out_specs=[
-            pl.BlockSpec((1, cout), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i, j: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, cout), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, cout), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1, cout), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, cout), jnp.int32),
         ],
         interpret=interpret,
     )(xp, *pargs)
-    return y, idx
+    return y[:, 0], idx[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -206,15 +211,20 @@ def _chain_bwd_pallas(x, layers, idx, g, interpret=False):
         in_specs=[
             pl.BlockSpec((1, _TILE_N, c0), lambda i, j: (i, j, 0)),
             *pspecs,
-            pl.BlockSpec((1, cout), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, _TILE_N, c0), lambda i, j: (i, j, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, xp.shape[1], c0), x.dtype),
         interpret=interpret,
-    )(xp, *pargs, idx, g.astype(jnp.float32))
+    )(
+        xp,
+        *pargs,
+        idx[:, None, :],
+        g.astype(jnp.float32)[:, None, :],
+    )
     return dx[:, :n]
 
 
@@ -252,19 +262,24 @@ def _act_bwd(dh, z_pos, slope: float):
 
 
 def _group_fwd_kernel(k: int, num_layers, slope, x_ref, *refs):
-    """Grid (B, ng): x [1, GPB*K, C0]; outputs (y, idx) [1, GPB, C_L].
+    """Grid (B, ng): x [1, 1, GPB*K, C0]; outputs (y, idx)
+    [1, 1, GPB, C_L].
 
     Per-segment max/argmax via STATIC slices (gpb is small and static),
     so K needs no sublane alignment — EdgeConv's k=20 works as-is.
+    Every blocked array carries an explicit ng axis so the block's
+    trailing two dims EQUAL the overall dims — Mosaic rejects blocks
+    whose sublane dim is neither 8-divisible nor equal to the overall
+    (gpb can be 1/2/4 when K is large, e.g. PointNet++ SA2/MSG).
     """
     y_ref, idx_ref = refs[-2], refs[-1]
-    h = x_ref[0].astype(jnp.float32)  # [GPB*K, C0]
+    h = x_ref[0, 0].astype(jnp.float32)  # [GPB*K, C0]
     for layer in range(num_layers):
         w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
         z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
         if layer < num_layers - 1:
             h = _act(z, slope)
-    gpb = y_ref.shape[1]
+    gpb = y_ref.shape[2]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (k, z.shape[-1]), 0)
     ms, idxs = [], []
     for gi in range(gpb):
@@ -276,15 +291,15 @@ def _group_fwd_kernel(k: int, num_layers, slope, x_ref, *refs):
             jnp.min(jnp.where(seg == m, kiota, k), axis=0, keepdims=True)
         )
         ms.append(m)
-    y_ref[0] = jnp.concatenate(ms, axis=0)  # [GPB, C_L]
-    idx_ref[0] = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
+    y_ref[0, 0] = jnp.concatenate(ms, axis=0)  # [GPB, C_L]
+    idx_ref[0, 0] = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
 
 
 def _group_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
     """Grid (B, ng): recompute the chain, expand the per-segment argmax
-    cotangent, back-propagate to dx [1, GPB*K, C0]."""
+    cotangent, back-propagate to dx [1, 1, GPB*K, C0]."""
     idx_ref, g_ref, dx_ref = refs[-3], refs[-2], refs[-1]
-    h = x_ref[0].astype(jnp.float32)
+    h = x_ref[0, 0].astype(jnp.float32)
     masks = []
     for layer in range(num_layers - 1):
         w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
@@ -292,12 +307,12 @@ def _group_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
         masks.append(z > 0.0)
         h = _act(z, slope)
 
-    gpb, cout = g_ref.shape[1], g_ref.shape[2]
+    gpb, cout = g_ref.shape[2], g_ref.shape[3]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (k, cout), 0)
     segs = []
     for gi in range(gpb):
-        hit = idx_ref[0, gi][None, :] == kiota  # [K, C_L]
-        segs.append(jnp.where(hit, g_ref[0, gi][None, :], 0.0))
+        hit = idx_ref[0, 0, gi][None, :] == kiota  # [K, C_L]
+        segs.append(jnp.where(hit, g_ref[0, 0, gi][None, :], 0.0))
     c = jnp.concatenate(segs, axis=0)  # [GPB*K, C_L]
     for layer in range(num_layers - 1, -1, -1):
         w = refs[5 * layer]
@@ -305,20 +320,20 @@ def _group_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
         if layer > 0:
             mul_prev = refs[5 * (layer - 1) + 3]
             c = _act_bwd(dh, masks[layer - 1], slope) * mul_prev[...]
-    dx_ref[0] = dh.astype(dx_ref.dtype)
+    dx_ref[0, 0] = dh.astype(dx_ref.dtype)
 
 
 def _group_mean_fwd_kernel(k: int, num_layers, slope, x_ref, *refs):
     """Mean-pool variant: activation applies to EVERY layer (the mean
-    does not commute with it), y [1, GPB, C_L] = per-segment mean."""
+    does not commute with it), y [1, 1, GPB, C_L] = per-segment mean."""
     y_ref = refs[-1]
-    h = x_ref[0].astype(jnp.float32)
+    h = x_ref[0, 0].astype(jnp.float32)
     for layer in range(num_layers):
         w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
         h = _act(_epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta), slope)
-    gpb = y_ref.shape[1]
+    gpb = y_ref.shape[2]
     inv_k = 1.0 / k
-    y_ref[0] = jnp.concatenate(
+    y_ref[0, 0] = jnp.concatenate(
         [
             jnp.sum(h[gi * k : (gi + 1) * k], axis=0, keepdims=True)
             for gi in range(gpb)
@@ -331,7 +346,7 @@ def _group_mean_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
     """Mean-pool backward: dense cotangent dy/k broadcast to each row,
     through every layer's activation mask."""
     g_ref, dx_ref = refs[-2], refs[-1]
-    h = x_ref[0].astype(jnp.float32)
+    h = x_ref[0, 0].astype(jnp.float32)
     masks = []
     for layer in range(num_layers):
         w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
@@ -339,10 +354,10 @@ def _group_mean_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
         masks.append(z > 0.0)
         h = _act(z, slope)
 
-    gpb, cout = g_ref.shape[1], g_ref.shape[2]
+    gpb, cout = g_ref.shape[2], g_ref.shape[3]
     # g = dy * mul_L / k, broadcast to every row of its segment
     segs = [
-        jnp.broadcast_to(g_ref[0, gi][None, :], (k, cout))
+        jnp.broadcast_to(g_ref[0, 0, gi][None, :], (k, cout))
         for gi in range(gpb)
     ]
     c = _act_bwd(jnp.concatenate(segs, axis=0), masks[-1], slope)
@@ -352,7 +367,7 @@ def _group_mean_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
         if layer > 0:
             mul_prev = refs[5 * (layer - 1) + 3]
             c = _act_bwd(dh, masks[layer - 1], slope) * mul_prev[...]
-    dx_ref[0] = dh.astype(dx_ref.dtype)
+    dx_ref[0, 0] = dh.astype(dx_ref.dtype)
 
 
 def _pad_groups(x: jax.Array, gpb: int) -> jax.Array:
@@ -382,25 +397,29 @@ def _group_fwd_pallas(x, layers, slope=0.0, interpret=False):
     gpb = _groups_per_block(k, g)
     xp = _pad_groups(x, gpb)
     ng = xp.shape[1] // gpb
-    xr = xp.reshape(bsz, ng * gpb * k, c0)
+    # explicit ng axis: every block's trailing two dims equal the
+    # overall dims, satisfying Mosaic's block-shape rule for any gpb/K
+    xr = xp.reshape(bsz, ng, gpb * k, c0)
     pspecs, pargs = _layer_specs(layers)
     y, idx = pl.pallas_call(
         functools.partial(_group_fwd_kernel, k, len(layers), slope),
         grid=(bsz, ng),
         in_specs=[
-            pl.BlockSpec((1, gpb * k, c0), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, gpb * k, c0), lambda i, j: (i, j, 0, 0)),
             *pspecs,
         ],
         out_specs=[
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, ng, gpb, cout), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ng, gpb, cout), jnp.int32),
         ],
         interpret=interpret,
     )(xr, *pargs)
+    y = y.reshape(bsz, ng * gpb, cout)
+    idx = idx.reshape(bsz, ng * gpb, cout)
     return y[:, :g], idx[:, :g]
 
 
@@ -411,20 +430,22 @@ def _group_mean_fwd_pallas(x, layers, slope=0.0, interpret=False):
     gpb = _groups_per_block(k, g)
     xp = _pad_groups(x, gpb)
     ng = xp.shape[1] // gpb
-    xr = xp.reshape(bsz, ng * gpb * k, c0)
+    xr = xp.reshape(bsz, ng, gpb * k, c0)
     pspecs, pargs = _layer_specs(layers)
     y = pl.pallas_call(
         functools.partial(_group_mean_fwd_kernel, k, len(layers), slope),
         grid=(bsz, ng),
         in_specs=[
-            pl.BlockSpec((1, gpb * k, c0), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, gpb * k, c0), lambda i, j: (i, j, 0, 0)),
             *pspecs,
         ],
-        out_specs=pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, ng, gpb, cout), jnp.float32),
         interpret=interpret,
     )(xr, *pargs)
-    return y[:, :g]
+    return y.reshape(bsz, ng * gpb, cout)[:, :g]
 
 
 @functools.partial(
@@ -438,38 +459,43 @@ def _group_bwd_pallas(
     gpb = _groups_per_block(k, g)
     xp = _pad_groups(x, gpb)
     ng = xp.shape[1] // gpb
-    xr = xp.reshape(bsz, ng * gpb * k, c0)
+    xr = xp.reshape(bsz, ng, gpb * k, c0)
     pad = ng * gpb - g
     if pad:
         gcot = jnp.pad(gcot, ((0, 0), (0, pad), (0, 0)))
         if idx is not None:
             idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+    gcot = gcot.reshape(bsz, ng, gpb, cout)
+    if idx is not None:
+        idx = idx.reshape(bsz, ng, gpb, cout)
     pspecs, pargs = _layer_specs(layers)
     if mean_pool:
         kern = functools.partial(
             _group_mean_bwd_kernel, k, len(layers), slope
         )
-        tail_specs = [pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0))]
+        tail_specs = [
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0))
+        ]
         tail_args = [gcot.astype(jnp.float32)]
     else:
         kern = functools.partial(_group_bwd_kernel, k, len(layers), slope)
         tail_specs = [
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
         ]
         tail_args = [idx, gcot.astype(jnp.float32)]
     dx = pl.pallas_call(
         kern,
         grid=(bsz, ng),
         in_specs=[
-            pl.BlockSpec((1, gpb * k, c0), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, gpb * k, c0), lambda i, j: (i, j, 0, 0)),
             *pspecs,
             *tail_specs,
         ],
         out_specs=pl.BlockSpec(
-            (1, gpb * k, c0), lambda i, j: (i, j, 0)
+            (1, 1, gpb * k, c0), lambda i, j: (i, j, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, ng * gpb * k, c0), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, ng, gpb * k, c0), x.dtype),
         interpret=interpret,
     )(xr, *pargs, *tail_args)
     return dx.reshape(bsz, ng * gpb, k, c0)[:, :g]

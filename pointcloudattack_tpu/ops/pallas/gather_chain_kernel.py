@@ -150,12 +150,17 @@ def _gather_fwd_kernel(
     layout, k, n, d, nl, num_layers, slope,
     gm_ref, ctr_ref, idxt_ref, *refs,
 ):
-    """Grid (B, ng): outputs (y, argmax) [1, gpb, C_L]."""
+    """Grid (B, ng): outputs (y, argmax) [1, 1, gpb, C_L].
+
+    Blocked arrays carry an explicit ng axis so every block's trailing
+    two dims EQUAL the overall dims — Mosaic rejects blocks whose
+    sublane/lane dims are neither (8,128)-divisible nor equal to the
+    overall (gpb is 1/2/4 for large K; idxt's lane dim IS gpb)."""
     y_ref, idx_out_ref = refs[-2], refs[-1]
-    gpb = y_ref.shape[1]
+    gpb = y_ref.shape[2]
     h = _build_rows(
-        layout, k, gpb, n, d, nl, gm_ref[0], ctr_ref[0].astype(jnp.float32),
-        idxt_ref[0],
+        layout, k, gpb, n, d, nl, gm_ref[0],
+        ctr_ref[0, 0].astype(jnp.float32), idxt_ref[0, 0],
     )
     for layer in range(num_layers):
         w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
@@ -171,8 +176,8 @@ def _gather_fwd_kernel(
             jnp.min(jnp.where(seg == m, kiota, k), axis=0, keepdims=True)
         )
         ms.append(m)
-    y_ref[0] = jnp.concatenate(ms, axis=0)
-    idx_out_ref[0] = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
+    y_ref[0, 0] = jnp.concatenate(ms, axis=0)
+    idx_out_ref[0, 0] = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
 
 
 def _gather_bwd_kernel(
@@ -187,10 +192,10 @@ def _gather_bwd_kernel(
     """
     am_ref, g_ref, dg_ref, dctr_ref = refs[-4], refs[-3], refs[-2], refs[-1]
     j = pl.program_id(1)
-    gpb = g_ref.shape[1]
+    gpb = g_ref.shape[2]
     h = _build_rows(
-        layout, k, gpb, n, d, nl, gm_ref[0], ctr_ref[0].astype(jnp.float32),
-        idxt_ref[0],
+        layout, k, gpb, n, d, nl, gm_ref[0],
+        ctr_ref[0, 0].astype(jnp.float32), idxt_ref[0, 0],
     )
     masks = []
     for layer in range(num_layers - 1):
@@ -199,12 +204,12 @@ def _gather_bwd_kernel(
         masks.append(z > 0.0)
         h = _act(z, slope)
 
-    cout = g_ref.shape[2]
+    cout = g_ref.shape[3]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (k, cout), 0)
     segs = []
     for gi in range(gpb):
-        hit = am_ref[0, gi][None, :] == kiota
-        segs.append(jnp.where(hit, g_ref[0, gi][None, :], 0.0))
+        hit = am_ref[0, 0, gi][None, :] == kiota
+        segs.append(jnp.where(hit, g_ref[0, 0, gi][None, :], 0.0))
     c = jnp.concatenate(segs, axis=0)  # [gpb*K, C_L]
     for layer in range(num_layers - 1, -1, -1):
         w = refs[5 * layer]
@@ -217,7 +222,7 @@ def _gather_bwd_kernel(
     # matrix; center cotangents reduce over each group's K rows and
     # embed into [gpb, Cc] via zero-padding concat (segments may
     # overlap the same center columns, e.g. DGCNN — contributions sum)
-    cc = ctr_ref.shape[2]
+    cc = ctr_ref.shape[3]
 
     def _ksum(part):  # [gpb*K, w] -> [gpb, w] per-group row sum
         return jnp.concatenate(
@@ -252,7 +257,7 @@ def _gather_bwd_kernel(
             dctr = dctr + _embed(_ksum(part), s[1])
         off += w_
     dgath = jnp.concatenate(diff_parts + pass_parts, axis=1)
-    dctr_ref[0] = dctr
+    dctr_ref[0, 0] = dctr
 
     # scatter dgath [gpb*K, D+P] into the revisited [N, D+P] accumulator
     @pl.when(j == 0)
@@ -260,7 +265,7 @@ def _gather_bwd_kernel(
         dg_ref[0] = jnp.zeros_like(dg_ref[0])
 
     iota_nk = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0)
-    idx3 = idx_ref[0]  # [gpb, K]
+    idx3 = idx_ref[0, 0]  # [gpb, K]
     # one [N, gpb*K] transpose-scatter per limb (not gpb small ones)
     ohT = jnp.concatenate(
         [
@@ -302,7 +307,13 @@ def _gather_fwd_pallas(src, centers, idx, layers, layout, slope, interpret):
     centers_p, idx_p = _pad_group_arrays(gpb, centers, idx)
     ng = idx_p.shape[1] // gpb
     gmat = build_gather_matrix(src, layout)
-    idxt = jnp.swapaxes(idx_p, 1, 2)  # [B, K, G]
+    cc = centers.shape[2]
+    # explicit ng axis (see _gather_fwd_kernel docstring): [B,ng,K,gpb]
+    # puts gpb in a block-equal-to-overall lane position
+    idxt = jnp.swapaxes(
+        idx_p.reshape(bsz, ng, gpb, k), 2, 3
+    )  # [B, ng, K, gpb]
+    ctr4 = centers_p.reshape(bsz, ng, gpb, cc)
     pspecs, pargs = _layer_specs(layers)
     kern = functools.partial(
         _gather_fwd_kernel, layout, k, n, d, _num_limbs(src.dtype),
@@ -313,22 +324,22 @@ def _gather_fwd_pallas(src, centers, idx, layers, layout, slope, interpret):
         grid=(bsz, ng),
         in_specs=[
             pl.BlockSpec((1, n, gmat.shape[2]), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec(
-                (1, gpb, centers.shape[2]), lambda i, j: (i, j, 0)
-            ),
-            pl.BlockSpec((1, k, gpb), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, gpb, cc), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, k, gpb), lambda i, j: (i, j, 0, 0)),
             *pspecs,
         ],
         out_specs=[
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, ng * gpb, cout), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, ng, gpb, cout), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ng, gpb, cout), jnp.int32),
         ],
         interpret=interpret,
-    )(gmat, centers_p, idxt, *pargs)
+    )(gmat, ctr4, idxt, *pargs)
+    y = y.reshape(bsz, ng * gpb, cout)
+    am = am.reshape(bsz, ng * gpb, cout)
     return y[:, :g], am[:, :g]
 
 
@@ -348,7 +359,12 @@ def _gather_bwd_pallas(
     )
     ng = idx_p.shape[1] // gpb
     gmat = build_gather_matrix(src, layout)
-    idxt = jnp.swapaxes(idx_p, 1, 2)
+    cc = centers.shape[2]
+    idx4 = idx_p.reshape(bsz, ng, gpb, k)
+    idxt = jnp.swapaxes(idx4, 2, 3)  # [B, ng, K, gpb]
+    ctr4 = centers_p.reshape(bsz, ng, gpb, cc)
+    am4 = am_p.reshape(bsz, ng, gpb, cout)
+    gcot4 = gcot_p.reshape(bsz, ng, gpb, cout)
     pspecs, pargs = _layer_specs(layers)
     kern = functools.partial(
         _gather_bwd_kernel, layout, k, n, d, _num_limbs(src.dtype),
@@ -359,29 +375,24 @@ def _gather_bwd_pallas(
         grid=(bsz, ng),
         in_specs=[
             pl.BlockSpec((1, n, gmat.shape[2]), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec(
-                (1, gpb, centers.shape[2]), lambda i, j: (i, j, 0)
-            ),
-            pl.BlockSpec((1, k, gpb), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, gpb, k), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, gpb, cc), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, k, gpb), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, gpb, k), lambda i, j: (i, j, 0, 0)),
             *pspecs,
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, gpb, cout), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, n, d + p), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec(
-                (1, gpb, centers.shape[2]), lambda i, j: (i, j, 0)
-            ),
+            pl.BlockSpec((1, 1, gpb, cc), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, n, d + p), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (bsz, ng * gpb, centers.shape[2]), jnp.float32
-            ),
+            jax.ShapeDtypeStruct((bsz, ng, gpb, cc), jnp.float32),
         ],
         interpret=interpret,
-    )(gmat, centers_p, idxt, idx_p, *pargs, am_p, gcot_p)
+    )(gmat, ctr4, idxt, idx4, *pargs, am4, gcot4)
+    dctr = dctr.reshape(bsz, ng * gpb, cc)
     # un-concatenate the gathered-column cotangents back to src columns
     dsrc = jnp.zeros(src.shape, jnp.float32)
     doff, poff = 0, d
