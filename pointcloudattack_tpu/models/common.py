@@ -25,21 +25,88 @@ from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
     use_chain_kernel,
 )
 
-# Global dispatch switch for the fused Dense+BN+maxpool tail of
-# ``PointMLP(pool_max=True)`` (ops/pallas/dense_max_kernel.py).
-# "enabled" honors PCA_FUSED_MAXPOOL=0 as a kill switch; "interpret" is
-# a test hook that runs the kernel through the Pallas interpreter on CPU.
+def _env_tri(name: str):
+    """Tri-state env knob: unset/'' -> None (per-family policy),
+    '0' -> False (force off everywhere), anything else -> True (force
+    on everywhere)."""
+    v = os.environ.get(name)
+    return None if v in (None, "") else v != "0"
+
+
+# Master dispatch switches for the fused Pallas kernels
+# (ops/pallas/dense_max_kernel.py chain+pool,
+# ops/pallas/gather_chain_kernel.py in-kernel gather).  Each of
+# "enabled"/"gather" is tri-state: True/False FORCE the tier on/off for
+# every family (tests, A/B arms, kill switches), None defers to the
+# measured per-family FUSED_POLICY below.  "interpret" is a test hook
+# that runs the kernels through the Pallas interpreter on CPU.
 FUSED_MAXPOOL = {
-    "enabled": os.environ.get("PCA_FUSED_MAXPOOL", "1") != "0",
-    # in-kernel neighbour-gather fusion for grouped chains
-    # (ops/pallas/gather_chain_kernel.py) — OPT-IN until its TPU A/B is
-    # measured (bench_fused_maxpool --victim dgcnn/ssg, gather_on arm)
-    "gather": os.environ.get("PCA_FUSED_GATHER", "0") == "1",
+    "enabled": _env_tri("PCA_FUSED_MAXPOOL"),
+    "gather": _env_tri("PCA_FUSED_GATHER"),
     "interpret": False,
     # set by retry_without_fused_maxpool when a hardware rejection flips
-    # "enabled" off mid-process — bench.py records it per family
+    # a tier off mid-process — bench.py records it per family
     "disabled_reason": "",
 }
+
+# Measured per-victim fused-kernel defaults (TPU v5e A/B,
+# scripts/bench_fused_maxpool.py — decision data in BENCH.md round 4).
+# "chain": the fused MLP-chain+pool kernels; "gather": the in-kernel
+# neighbour gather riding on top (its kernel subsumes the chain, so the
+# two tiers are independent knobs).  f32 numbers drove these defaults;
+# under bf16 activations XLA's own fusion measured FASTER than the
+# chain kernel on the headline (round 3: 250.9 unfused vs 187.9 fused
+# clouds/s), so bf16 defaults to unfused unless a family's
+# "chain_bf16"/"gather_bf16" says otherwise.  PCA_FUSED_MAXPOOL /
+# PCA_FUSED_GATHER =0/1 force-override everything.
+FUSED_POLICY: dict = {
+    "pointnet": {"chain": True, "chain_bf16": False},
+    "ssg": {"chain": True, "gather": True},
+    "msg": {"chain": True, "gather": True},
+    "dgcnn": {"chain": False, "gather": False},
+    "curvenet": {"chain": True, "gather": False},
+    "punet": {"chain": True, "gather": False},
+}
+
+
+def fused_chain_on(family: str = "", dtype=None) -> bool:
+    """Should the fused chain+pool kernels dispatch for ``family`` with
+    activations of ``dtype``?  Force flags first, then FUSED_POLICY."""
+    v = FUSED_MAXPOOL["enabled"]
+    if v is not None:
+        return bool(v)
+    pol = FUSED_POLICY.get(family, {})
+    if dtype is not None and jnp.dtype(dtype) == jnp.bfloat16:
+        return bool(pol.get("chain_bf16", False))
+    return bool(pol.get("chain", True))
+
+
+def fused_gather_on(family: str = "", dtype=None) -> bool:
+    """Should the in-kernel gather fusion dispatch?  Independent of the
+    chain tier (the gather kernel replaces the chain it rides on), but
+    the master "enabled" False kill switch turns EVERYTHING off."""
+    if FUSED_MAXPOOL["enabled"] is False:
+        return False
+    v = FUSED_MAXPOOL["gather"]
+    if v is not None:
+        return bool(v)
+    pol = FUSED_POLICY.get(family, {})
+    if dtype is not None and jnp.dtype(dtype) == jnp.bfloat16:
+        return bool(pol.get("gather_bf16", False))
+    return bool(pol.get("gather", False))
+
+
+def fused_state() -> str:
+    """One-line provenance string for bench records: the force flags
+    (or 'policy' when deferring to FUSED_POLICY)."""
+
+    def s(v):
+        return "policy" if v is None else ("on" if v else "off")
+
+    return (
+        f"chain={s(FUSED_MAXPOOL['enabled'])} "
+        f"gather={s(FUSED_MAXPOOL['gather'])}"
+    )
 
 
 def is_mosaic_error(e: BaseException) -> bool:
@@ -82,9 +149,12 @@ def retry_without_fused_maxpool(run, on_disable=None):
         except Exception as e:
             if not (broad or is_mosaic_error(e)):
                 raise
-            if FUSED_MAXPOOL["gather"]:
+            # tri-state knobs: None (policy — possibly on for some
+            # families) counts as "still on" for de-escalation; forcing
+            # to False turns the tier off everywhere
+            if FUSED_MAXPOOL["gather"] is not False:
                 knob, label = "gather", "in-kernel gather fusion"
-            elif FUSED_MAXPOOL["enabled"]:
+            elif FUSED_MAXPOOL["enabled"] is not False:
                 knob, label = "enabled", "fused chain+pool kernels"
             else:
                 raise  # every tier already off: a genuine failure
@@ -117,6 +187,9 @@ class PointMLP(nn.Module):
     features: Sequence[int]
     relu_last: bool = True
     pool_max: bool = False
+    # owning model family for the per-victim fused-kernel policy
+    # (FUSED_POLICY); "" falls through to the policy default (chain on)
+    family: str = ""
 
     def _fused_layer(self, i: int):
         """(w, b, mean, mul, beta) of layer i for mlp_chain_maxpool.
@@ -138,7 +211,7 @@ class PointMLP(nn.Module):
             and not train
             and not self.is_initializing()
             and x.ndim == 3
-            and FUSED_MAXPOOL["enabled"]
+            and fused_chain_on(self.family, x.dtype)
         )
         ip = FUSED_MAXPOOL["interpret"]
         # whole-stack fusion: every layer + the max pool in ONE Pallas

@@ -107,14 +107,16 @@ class LPFA(nn.Module):
                 ))
             return tuple(layers)
 
-        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+        from pointcloudattack_tpu.models.common import (
+            FUSED_MAXPOOL,
+            fused_gather_on,
+        )
 
         if (
             self.initial
             and not train
             and not self.is_initializing()
-            and FUSED_MAXPOOL["enabled"]
-            and FUSED_MAXPOOL["gather"]
+            and fused_gather_on("curvenet", xyz.dtype)
         ):
             # in-kernel gather fusion (opt-in) for the INITIAL block:
             # point_feature = [ctr_xyz, nbr_xyz, nbr_xyz - ctr_xyz]
@@ -140,6 +142,60 @@ class LPFA(nn.Module):
                 return nn.leaky_relu(
                     pooled, negative_slope=0.2
                 ).astype(xyz.dtype)
+
+        if (
+            not self.initial
+            and x is not None
+            and not train
+            and not self.is_initializing()
+            and fused_gather_on("curvenet", xyz.dtype)
+        ):
+            # RESIDUAL-block gather fusion: the reference rows are
+            # leaky_relu((nbr_x - ctr_x) + BN(Dense([ctr, nbr,
+            # nbr - ctr] @ W9))) (curvenet_util.py:203-228).  The
+            # learned Dense + eval-BN are affine in (nbr_xyz, ctr_xyz),
+            # so they FOLD into the gather sources: with W9 split into
+            # per-segment 3-row blocks Wc/Wn/Wd and BN folded to
+            # (mul, const), rows = act(gather(S) - center(T)) where
+            #   S = x + xyz @ ((Wn + Wd) * mul)
+            #   T = x - xyz @ ((Wc - Wd) * mul) - const
+            # — a single diff-segment layout with a row pre-activation,
+            # so the [B, N, k, C] grouped tensor never touches HBM.
+            # f32 sum-order deviation only (one 9-wide matmul becomes
+            # two 3-wide ones); screened on hardware by
+            # scripts/tpu_parity_fused.py's CurveNet row.
+            from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+                gather_chain_groupmean,
+                use_gather_chain_kernel,
+            )
+
+            c = x.shape[-1]
+            layout = (("diff", 0, c, 0),)
+            ipg = FUSED_MAXPOOL["interpret"]
+            gdims = (c,) + (self.out_channel,) * self.mlp_num
+            if ipg or use_gather_chain_kernel(
+                xyz.shape[1], self.k, gdims, layout
+            ):
+                w9 = self.get_variable("params", "xyz2feature")["kernel"]
+                pb = self.get_variable("params", "xyz2feature_bn")
+                st = self.get_variable("batch_stats", "xyz2feature_bn")
+                mul = jax.lax.rsqrt(st["var"] + 1e-5) * pb["scale"]
+                const = pb["bias"] - st["mean"] * mul
+                a_n = (w9[3:6] + w9[6:9]) * mul[None, :]
+                a_c = (w9[0:3] - w9[6:9]) * mul[None, :]
+                f32 = jnp.float32
+                src = x.astype(f32) + xyz.astype(f32) @ a_n.astype(f32)
+                ctrs = (
+                    x.astype(f32)
+                    - xyz.astype(f32) @ a_c.astype(f32)
+                    - const.astype(f32)[None, None, :]
+                )
+                pooled = gather_chain_groupmean(
+                    src.astype(xyz.dtype), ctrs.astype(xyz.dtype), idx,
+                    _chain_layers(), layout, ipg, slope=0.2,
+                    pre_act=True,
+                )
+                return pooled.astype(xyz.dtype)
 
         nbr_xyz = index_points(xyz, idx)  # [B, N, k, 3]
         ctr_xyz = jnp.broadcast_to(xyz[:, :, None, :], nbr_xyz.shape)
@@ -167,7 +223,10 @@ class LPFA(nn.Module):
         # [B, N, k, out_channel] MLP maps stay VMEM-resident.  The
         # initial block max-pools (LeakyReLU commutes, applied after);
         # the residual blocks MEAN-pool with the activation inside.
-        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+        from pointcloudattack_tpu.models.common import (
+            FUSED_MAXPOOL,
+            fused_chain_on,
+        )
         from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
             mlp_chain_groupmax,
             mlp_chain_groupmean,
@@ -179,7 +238,7 @@ class LPFA(nn.Module):
         if (
             not train
             and not self.is_initializing()
-            and FUSED_MAXPOOL["enabled"]
+            and fused_chain_on("curvenet", h.dtype)
             and (ip or use_group_chain_kernel(self.k, dims))
         ):
             layers = _chain_layers()

@@ -119,19 +119,20 @@ class EdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+        from pointcloudattack_tpu.models.common import (
+            FUSED_MAXPOOL,
+            fused_chain_on,
+            fused_gather_on,
+        )
         from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
             mlp_chain_groupmax,
             use_group_chain_kernel,
         )
 
-        fusable = (
-            not train
-            and not self.is_initializing()
-            and FUSED_MAXPOOL["enabled"]
-        )
+        eligible = not train and not self.is_initializing()
+        fusable = eligible and fused_chain_on("dgcnn", x.dtype)
         ip = FUSED_MAXPOOL["interpret"]
-        if fusable and FUSED_MAXPOOL["gather"]:
+        if eligible and fused_gather_on("dgcnn", x.dtype):
             # in-kernel gather fusion: the [B, N, k, 2C] edge tensor is
             # never materialized — the kernel gathers neighbours from x
             # (3-limb, exact) and builds [x_j - x_i, x_i] rows in VMEM

@@ -17,7 +17,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointcloudattack_tpu.models.common import FUSED_MAXPOOL, PointMLP
+from pointcloudattack_tpu.models.common import (
+    FUSED_MAXPOOL,
+    PointMLP,
+    fused_chain_on,
+)
 from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
     mlp_chain_maxpool,
     use_chain_kernel,
@@ -33,7 +37,9 @@ class STN(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # x: [B, N, k] — the 128->1024 tail + max pool runs fused on TPU
         # (ops/pallas/dense_max_kernel.py; relu commutes with max)
-        h = PointMLP([64, 128, 1024], pool_max=True, name="mlp")(
+        h = PointMLP(
+            [64, 128, 1024], pool_max=True, family="pointnet", name="mlp"
+        )(
             x, train=train
         )  # [B, 1024]
         h = PointMLP([512, 256], name="fc")(h, train=train)
@@ -64,12 +70,12 @@ class PointNetFeat(nn.Module):
             mul, pb["bias"],
         )
 
-    def _fusable(self, train: bool) -> bool:
+    def _fusable(self, train: bool, dtype) -> bool:
         return (
             not train
             and not self.is_initializing()
             and self.global_feat  # seg head needs per-point mlp1 output
-            and FUSED_MAXPOOL["enabled"]
+            and fused_chain_on("pointnet", dtype)
         )
 
     @nn.compact
@@ -88,7 +94,7 @@ class PointNetFeat(nn.Module):
         # 1024] maps of reference model/pointnet.py:104-121 touch HBM.
         if (
             not self.feature_transform
-            and self._fusable(train)
+            and self._fusable(train, x.dtype)
             and (ip or use_chain_kernel(n, (x.shape[-1], 64, 128, 1024)))
         ):
             layers = tuple(
@@ -108,7 +114,7 @@ class PointNetFeat(nn.Module):
                 precision=jax.lax.Precision.HIGHEST,
             )
             # the mlp2 -> mlp3 -> max tail still fuses (L=2 chain)
-            if self._fusable(train) and (
+            if self._fusable(train, x.dtype) and (
                 ip or use_chain_kernel(n, (x.shape[-1], 128, 1024))
             ):
                 layers = (
@@ -122,7 +128,8 @@ class PointNetFeat(nn.Module):
         point_feat = x  # [B, N, 64]
         x = PointMLP([128], name="mlp2")(x, train=train)
         gf = PointMLP(
-            [1024], relu_last=False, pool_max=True, name="mlp3"
+            [1024], relu_last=False, pool_max=True, family="pointnet",
+            name="mlp3",
         )(x, train=train)  # [B, 1024] (fused Dense+BN+max on TPU)
         if self.global_feat:
             return gf, trans, trans_feat

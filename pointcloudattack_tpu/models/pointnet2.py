@@ -18,7 +18,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointcloudattack_tpu.models.common import FUSED_MAXPOOL, PointMLP
+from pointcloudattack_tpu.models.common import (
+    FUSED_MAXPOOL,
+    PointMLP,
+    fused_chain_on,
+    fused_gather_on,
+)
 from pointcloudattack_tpu.ops.ball_query import query_ball_point
 from pointcloudattack_tpu.ops.fps import farthest_point_sample
 from pointcloudattack_tpu.ops.gather import index_points
@@ -44,7 +49,7 @@ def _collect_layers(parent: nn.Module, name: str, n: int):
 
 def _fused_gather_sa(
     parent: nn.Module, name: str, feats, src, layout, nsample, train,
-    sample_fn,
+    sample_fn, family: str = "ssg",
 ):
     """Set abstraction with IN-KERNEL neighbour gather: the grouped
     [B, S, K, C] tensor is never materialized — the kernel gathers from
@@ -52,7 +57,7 @@ def _fused_gather_sa(
     bf16 for features), builds the rows in VMEM, runs the MLP chain and
     the max (ops/pallas/gather_chain_kernel.py).  Returns
     (centers, pooled [B, S, C_L] post-ReLU) or None when ineligible.
-    Opt-in via PCA_FUSED_GATHER (FUSED_MAXPOOL["gather"]).
+    Per-family policy via fused_gather_on (PCA_FUSED_GATHER overrides).
 
     Every eligibility gate is STATIC (shapes + flags) and evaluated
     before ``sample_fn() -> (centers, idx)`` runs, so a refused fused
@@ -66,8 +71,7 @@ def _fused_gather_sa(
     if (
         train
         or parent.is_initializing()
-        or not FUSED_MAXPOOL["enabled"]
-        or not FUSED_MAXPOOL["gather"]
+        or not fused_gather_on(family, src.dtype)
     ):
         return None
     ip = FUSED_MAXPOOL["interpret"]
@@ -84,7 +88,10 @@ def _fused_gather_sa(
     return centers, nn.relu(pooled).astype(src.dtype)
 
 
-def _fused_group_mlp(parent: nn.Module, name: str, feats, grouped, train):
+def _fused_group_mlp(
+    parent: nn.Module, name: str, feats, grouped, train,
+    family: str = "ssg",
+):
     """Run a grouped PointMLP + max-over-K, fused when eligible.
 
     Returns the pooled [B, S, C_L] (post-ReLU — SA stacks end in ReLU,
@@ -100,7 +107,7 @@ def _fused_group_mlp(parent: nn.Module, name: str, feats, grouped, train):
     if (
         train
         or parent.is_initializing()
-        or not FUSED_MAXPOOL["enabled"]
+        or not fused_chain_on(family, grouped.dtype)
     ):
         return None
     ip = FUSED_MAXPOOL["interpret"]
@@ -121,6 +128,8 @@ class SetAbstraction(nn.Module):
     nsample: int | None
     mlp: Sequence[int]
     group_all: bool = False
+    # owning model family for the per-victim fused-kernel policy
+    family: str = "ssg"
 
     @nn.compact
     def __call__(
@@ -138,12 +147,12 @@ class SetAbstraction(nn.Module):
             # chain+maxpool Pallas pass on TPU.  relu-after-max ==
             # max-after-relu (monotone), so this is bit-identical to the
             # grouped path it replaces.
-            pooled = PointMLP(self.mlp, pool_max=True, name="mlp")(
-                grouped[:, 0], train=train
-            )[:, None]
+            pooled = PointMLP(
+                self.mlp, pool_max=True, family=self.family, name="mlp"
+            )(grouped[:, 0], train=train)[:, None]
             return new_xyz, pooled
-        if FUSED_MAXPOOL["gather"]:
-            # in-kernel gather fusion (opt-in): reproduce
+        if fused_gather_on(self.family, xyz.dtype):
+            # in-kernel gather fusion (per-family policy): reproduce
             # sample_and_group's exact construction (ops/grouping.py:
             # 39-48 — grouped_xyz - new_xyz first, features after) with
             # the gather inside the kernel; FPS/ball-query only run
@@ -168,7 +177,7 @@ class SetAbstraction(nn.Module):
 
             res = _fused_gather_sa(
                 self, "mlp", self.mlp, src, layout, self.nsample, train,
-                sample_fn,
+                sample_fn, family=self.family,
             )
             if res is not None:
                 return res
@@ -178,7 +187,9 @@ class SetAbstraction(nn.Module):
         )
         # grouped: [B, S, K, C] -> per-point MLP -> max over K (fused
         # chain+pool Pallas pass on TPU in eval mode)
-        pooled = _fused_group_mlp(self, "mlp", self.mlp, grouped, train)
+        pooled = _fused_group_mlp(
+            self, "mlp", self.mlp, grouped, train, family=self.family
+        )
         if pooled is None:
             h = PointMLP(self.mlp, name="mlp")(grouped, train=train)
             pooled = jnp.max(h, axis=2)
@@ -192,6 +203,7 @@ class SetAbstractionMSG(nn.Module):
     radius_list: Sequence[float]
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
+    family: str = "msg"
 
     @nn.compact
     def __call__(
@@ -214,7 +226,7 @@ class SetAbstractionMSG(nn.Module):
             zip(self.radius_list, self.nsample_list)
         ):
             idx = query_ball_point(radius, k, xyz, new_xyz, sqr=sqr)
-            if FUSED_MAXPOOL["gather"]:
+            if fused_gather_on(self.family, xyz.dtype):
                 # reference concatenates FEATURES first, xyz-diff last
                 # (model/pointnet2_MSG.py:45-52); new_xyz/idx are
                 # already computed (shared across scales), so the
@@ -229,6 +241,7 @@ class SetAbstractionMSG(nn.Module):
                 res = _fused_gather_sa(
                     self, f"branch{i}", self.mlp_list[i], src, layout,
                     k, train, lambda: (new_xyz, idx),
+                    family=self.family,
                 )
                 if res is not None:
                     outs.append(res[1])
@@ -242,7 +255,8 @@ class SetAbstractionMSG(nn.Module):
             else:
                 grouped = grouped_xyz
             pooled = _fused_group_mlp(
-                self, f"branch{i}", self.mlp_list[i], grouped, train
+                self, f"branch{i}", self.mlp_list[i], grouped, train,
+                family=self.family,
             )
             if pooled is None:
                 h = PointMLP(self.mlp_list[i], name=f"branch{i}")(
@@ -366,7 +380,8 @@ class PointNet2MSG(nn.Module):
             name="sa2",
         )(l1_xyz, l1, train=train, fps_key=keys[1])
         _, l3 = SetAbstraction(
-            None, None, None, [256, 512, 1024], group_all=True, name="sa3"
+            None, None, None, [256, 512, 1024], group_all=True,
+            family="msg", name="sa3",
         )(l2_xyz, l2, train=train)
         x = l3[:, 0, :]
         logits = _ClsHead(self.num_classes, drop2=0.5, name="head")(

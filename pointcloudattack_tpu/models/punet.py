@@ -50,7 +50,11 @@ class PUNetSA(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, feats):
-        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+        from pointcloudattack_tpu.models.common import (
+            FUSED_MAXPOOL,
+            fused_chain_on,
+            fused_gather_on,
+        )
         from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
             mlp_chain_groupmax,
             use_group_chain_kernel,
@@ -59,8 +63,7 @@ class PUNetSA(nn.Module):
         ip = FUSED_MAXPOOL["interpret"]
         if (
             not self.is_initializing()
-            and FUSED_MAXPOOL["enabled"]
-            and FUSED_MAXPOOL["gather"]
+            and fused_gather_on("punet", xyz.dtype)
         ):
             # in-kernel gather fusion (opt-in, PCA_FUSED_GATHER): same
             # construction as sample_and_group, gather done in VMEM
@@ -107,7 +110,7 @@ class PUNetSA(nn.Module):
         )
         if (
             not self.is_initializing()
-            and FUSED_MAXPOOL["enabled"]
+            and fused_chain_on("punet", grouped.dtype)
             and (
                 ip
                 or use_group_chain_kernel(

@@ -370,6 +370,33 @@ def _group_mean_bwd_kernel(k: int, num_layers, slope, x_ref, *refs):
     dx_ref[0, 0] = dh.astype(dx_ref.dtype)
 
 
+def pad_last_layer(layers, mult: int = 64):
+    """Zero-pad the LAST layer's output channels to a multiple of
+    ``mult``; returns ``(layers, cout)`` with the original width.
+
+    Lifts the kernels' lane-alignment restriction (Mosaic handles
+    64-multiples; CurveNet's initial LPFA is 32-wide and was silently
+    never dispatching on hardware).  Padded columns run through the
+    epilogue as ``(z + 0 - 0) * 0 + 0 = 0`` and are sliced off by the
+    caller; ``jnp.pad``/slice sit OUTSIDE the custom_vjp boundary, so
+    parameter/input cotangents flow through their standard transposes
+    (slice's vjp zero-pads dy, pad's vjp slices dlayers back).
+    """
+    w, b, mean, mul, beta = layers[-1]
+    cout = w.shape[1]
+    pad = (-cout) % mult
+    if not pad:
+        return layers, cout
+
+    def zf(v):
+        return jnp.pad(v, ((0, pad),))
+
+    padded = (
+        jnp.pad(w, ((0, 0), (0, pad))), zf(b), zf(mean), zf(mul), zf(beta)
+    )
+    return (*layers[:-1], padded), cout
+
+
 def _pad_groups(x: jax.Array, gpb: int) -> jax.Array:
     pad = (-x.shape[1]) % gpb
     if pad:
@@ -602,10 +629,13 @@ def mlp_chain_groupmax(x, layers, interpret=False, slope: float = 0.0):
     commutes with the max and is applied to the pooled output by the
     caller).
     """
+    DISPATCH_COUNT["group"] += 1
+    layers, cout = pad_last_layer(layers)
     key = ("group", bool(interpret), float(slope))
     if key not in _OP_CACHE:
         _OP_CACHE[key] = _make_group_op(bool(interpret), float(slope))
-    return _OP_CACHE[key](x, tuple(tuple(l) for l in layers))
+    y = _OP_CACHE[key](x, tuple(tuple(l) for l in layers))
+    return y[..., :cout]
 
 
 def mlp_chain_groupmean(x, layers, interpret=False, slope: float = 0.0):
@@ -616,10 +646,13 @@ def mlp_chain_groupmean(x, layers, interpret=False, slope: float = 0.0):
     mean — CurveNet's LPFA aggregation (reference
     curvenet_util.py:175-236, mean over k after LeakyReLU convs).
     """
+    DISPATCH_COUNT["groupmean"] += 1
+    layers, cout = pad_last_layer(layers)
     key = ("groupmean", bool(interpret), float(slope))
     if key not in _OP_CACHE:
         _OP_CACHE[key] = _make_group_mean_op(bool(interpret), float(slope))
-    return _OP_CACHE[key](x, tuple(tuple(l) for l in layers))
+    y = _OP_CACHE[key](x, tuple(tuple(l) for l in layers))
+    return y[..., :cout]
 
 
 def use_group_chain_kernel(k: int, dims: tuple[int, ...]) -> bool:
@@ -628,18 +661,31 @@ def use_group_chain_kernel(k: int, dims: tuple[int, ...]) -> bool:
 
     if not _HAVE_PLTPU:
         return False
-    cout = dims[-1]
-    if k < 4 or k > 512 or cout % 64 or cout < 64 or len(dims) > 5:
+    # non-64-multiple output widths are zero-padded by pad_last_layer
+    # (CurveNet's 32-wide initial LPFA) — size the VMEM check on the
+    # padded width
+    cout = dims[-1] + (-dims[-1]) % 64
+    if k < 4 or k > 512 or len(dims) > 5:
         return False
     if any(d > 1024 for d in dims[:-1]):
         return False
-    wbytes = sum(a * b * 4 for a, b in zip(dims[:-1], dims[1:]))
+    wbytes = sum(
+        a * b * 4 for a, b in zip(dims[:-1], (*dims[1:-1], cout))
+    )
     if wbytes > 4 * 1024 * 1024:
         return False
     return use_mosaic_kernels()
 
 
 _OP_CACHE: dict = {}
+
+# Trace-time dispatch counters: incremented each time a fused entry
+# point is actually invoked (i.e. its caller's use_*_kernel gate
+# passed).  Lets harnesses (scripts/tpu_parity_fused.py) distinguish
+# "kernel engaged and parity holds" from "kernel silently not engaged"
+# — a bit-identical A/B row is otherwise ambiguous.  Counts traces,
+# not executions (jit caches replay without re-tracing).
+DISPATCH_COUNT = {"chain": 0, "group": 0, "groupmean": 0, "gather": 0}
 
 
 def _make_op(interpret: bool):
@@ -690,6 +736,7 @@ def mlp_chain_maxpool(x, layers, interpret=False):
     conv1..conv3+bn+max (and the STN's, :26-36) into one VMEM-resident
     pass; see module docstring.
     """
+    DISPATCH_COUNT["chain"] += 1
     key = (bool(interpret),)
     if key not in _OP_CACHE:
         _OP_CACHE[key] = _make_op(bool(interpret))

@@ -147,10 +147,14 @@ def _build_rows(layout, k, gpb, n, d, nl, gm, ctr, idxt):
 
 
 def _gather_fwd_kernel(
-    layout, k, n, d, nl, num_layers, slope,
+    layout, k, n, d, nl, num_layers, slope, pre_act,
     gm_ref, ctr_ref, idxt_ref, *refs,
 ):
     """Grid (B, ng): outputs (y, argmax) [1, 1, gpb, C_L].
+
+    ``pre_act`` applies the activation to the constructed rows BEFORE
+    the chain (CurveNet residual LPFA: leaky_relu(diff + folded
+    xyz2feature) — see models/curvenet.py).
 
     Blocked arrays carry an explicit ng axis so every block's trailing
     two dims EQUAL the overall dims — Mosaic rejects blocks whose
@@ -162,6 +166,8 @@ def _gather_fwd_kernel(
         layout, k, gpb, n, d, nl, gm_ref[0],
         ctr_ref[0, 0].astype(jnp.float32), idxt_ref[0, 0],
     )
+    if pre_act:
+        h = _act(h, slope)
     for layer in range(num_layers):
         w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
         z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
@@ -180,43 +186,90 @@ def _gather_fwd_kernel(
     idx_out_ref[0, 0] = jnp.concatenate(idxs, axis=0).astype(jnp.int32)
 
 
-def _gather_bwd_kernel(
-    layout, k, n, d, nl, num_layers, slope,
-    gm_ref, ctr_ref, idxt_ref, idx_ref, *refs,
+def _gather_mean_fwd_kernel(
+    layout, k, n, d, nl, num_layers, slope, pre_act,
+    gm_ref, ctr_ref, idxt_ref, *refs,
 ):
-    """Grid (B, ng): recompute rows + chain, expand the argmax
-    cotangent, back-prop to the row cotangent, then split it:
-    gathered-column cotangents scatter into the revisited
-    dgather [1, N, D+P] accumulator via 3-limb one-hot transpose
-    matmuls; center cotangents reduce over K into dctr [1, gpb, Cc].
-    """
-    am_ref, g_ref, dg_ref, dctr_ref = refs[-4], refs[-3], refs[-2], refs[-1]
-    j = pl.program_id(1)
-    gpb = g_ref.shape[2]
+    """Mean-pool variant: EVERY layer is activated (the mean does not
+    commute with the activation), y [1, 1, gpb, C_L] = segment mean."""
+    y_ref = refs[-1]
+    gpb = y_ref.shape[2]
     h = _build_rows(
         layout, k, gpb, n, d, nl, gm_ref[0],
         ctr_ref[0, 0].astype(jnp.float32), idxt_ref[0, 0],
     )
+    if pre_act:
+        h = _act(h, slope)
+    for layer in range(num_layers):
+        w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
+        h = _act(_epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta), slope)
+    inv_k = 1.0 / k
+    y_ref[0, 0] = jnp.concatenate(
+        [
+            jnp.sum(h[gi * k : (gi + 1) * k], axis=0, keepdims=True)
+            for gi in range(gpb)
+        ],
+        axis=0,
+    ) * inv_k
+
+
+def _gather_bwd_kernel(
+    layout, k, n, d, nl, num_layers, slope, pool, pre_act,
+    gm_ref, ctr_ref, idxt_ref, idx_ref, *refs,
+):
+    """Grid (B, ng): recompute rows + chain, expand the pooled
+    cotangent (argmax hit for ``pool="max"``, dense broadcast for
+    ``pool="mean"`` whose every layer is activated), back-prop to the
+    row cotangent, then split it: gathered-column cotangents scatter
+    into the revisited dgather [1, N, D+P] accumulator via 3-limb
+    one-hot transpose matmuls; center cotangents reduce over K into
+    dctr [1, gpb, Cc].  ``pre_act`` mirrors the forward's row
+    activation (cotangent masked by the raw rows' sign).
+    """
+    if pool == "max":
+        am_ref, g_ref = refs[-4], refs[-3]
+    else:
+        am_ref, g_ref = None, refs[-3]
+    dg_ref, dctr_ref = refs[-2], refs[-1]
+    j = pl.program_id(1)
+    gpb = g_ref.shape[2]
+    rows = _build_rows(
+        layout, k, gpb, n, d, nl, gm_ref[0],
+        ctr_ref[0, 0].astype(jnp.float32), idxt_ref[0, 0],
+    )
+    h = _act(rows, slope) if pre_act else rows
     masks = []
-    for layer in range(num_layers - 1):
+    n_act = num_layers if pool == "mean" else num_layers - 1
+    for layer in range(n_act):
         w, b, mean, mul, beta = refs[5 * layer : 5 * layer + 5]
         z = _epilogue(_dot_bf16(h, w[...]), b, mean, mul, beta)
         masks.append(z > 0.0)
         h = _act(z, slope)
 
     cout = g_ref.shape[3]
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (k, cout), 0)
-    segs = []
-    for gi in range(gpb):
-        hit = am_ref[0, 0, gi][None, :] == kiota
-        segs.append(jnp.where(hit, g_ref[0, 0, gi][None, :], 0.0))
-    c = jnp.concatenate(segs, axis=0)  # [gpb*K, C_L]
+    if pool == "max":
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (k, cout), 0)
+        segs = []
+        for gi in range(gpb):
+            hit = am_ref[0, 0, gi][None, :] == kiota
+            segs.append(jnp.where(hit, g_ref[0, 0, gi][None, :], 0.0))
+        c = jnp.concatenate(segs, axis=0)  # [gpb*K, C_L]
+    else:
+        # g already carries dy * mul_L / k; broadcast to each segment
+        # row and mask through the LAST layer's activation
+        segs = [
+            jnp.broadcast_to(g_ref[0, 0, gi][None, :], (k, cout))
+            for gi in range(gpb)
+        ]
+        c = _act_bwd(jnp.concatenate(segs, axis=0), masks[-1], slope)
     for layer in range(num_layers - 1, -1, -1):
         w = refs[5 * layer]
         dh = _dot_bf16(c, w[...], trans_b=True)
         if layer > 0:
             mul_prev = refs[5 * (layer - 1) + 3]
             c = _act_bwd(dh, masks[layer - 1], slope) * mul_prev[...]
+    if pre_act:
+        dh = _act_bwd(dh, rows > 0.0, slope)
     # dh [gpb*K, C0]: split by layout — gathered-column cotangents in
     # (all diff cols, then all pass cols) order to match the fwd gather
     # matrix; center cotangents reduce over each group's K rows and
@@ -296,9 +349,13 @@ def _pad_group_arrays(gpb, centers, idx, *extras):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("layout", "slope", "interpret")
+    jax.jit,
+    static_argnames=("layout", "slope", "interpret", "pool", "pre_act"),
 )
-def _gather_fwd_pallas(src, centers, idx, layers, layout, slope, interpret):
+def _gather_fwd_pallas(
+    src, centers, idx, layers, layout, slope, interpret,
+    pool="max", pre_act=False,
+):
     bsz, n, _ = src.shape
     g, k = idx.shape[1], idx.shape[2]
     d, p, _ = _layout_widths(layout)
@@ -315,11 +372,31 @@ def _gather_fwd_pallas(src, centers, idx, layers, layout, slope, interpret):
     )  # [B, ng, K, gpb]
     ctr4 = centers_p.reshape(bsz, ng, gpb, cc)
     pspecs, pargs = _layer_specs(layers)
-    kern = functools.partial(
-        _gather_fwd_kernel, layout, k, n, d, _num_limbs(src.dtype),
-        len(layers), slope
-    )
-    y, am = pl.pallas_call(
+    if pool == "mean":
+        kern = functools.partial(
+            _gather_mean_fwd_kernel, layout, k, n, d,
+            _num_limbs(src.dtype), len(layers), slope, pre_act,
+        )
+        out_specs = pl.BlockSpec(
+            (1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (bsz, ng, gpb, cout), jnp.float32
+        )
+    else:
+        kern = functools.partial(
+            _gather_fwd_kernel, layout, k, n, d, _num_limbs(src.dtype),
+            len(layers), slope, pre_act,
+        )
+        out_specs = [
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bsz, ng, gpb, cout), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ng, gpb, cout), jnp.int32),
+        ]
+    out = pl.pallas_call(
         kern,
         grid=(bsz, ng),
         in_specs=[
@@ -328,48 +405,58 @@ def _gather_fwd_pallas(src, centers, idx, layers, layout, slope, interpret):
             pl.BlockSpec((1, 1, k, gpb), lambda i, j: (i, j, 0, 0)),
             *pspecs,
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, ng, gpb, cout), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, ng, gpb, cout), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(gmat, ctr4, idxt, *pargs)
+    if pool == "mean":
+        return out.reshape(bsz, ng * gpb, cout)[:, :g], None
+    y, am = out
     y = y.reshape(bsz, ng * gpb, cout)
     am = am.reshape(bsz, ng * gpb, cout)
     return y[:, :g], am[:, :g]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("layout", "slope", "interpret")
+    jax.jit,
+    static_argnames=("layout", "slope", "interpret", "pool", "pre_act"),
 )
 def _gather_bwd_pallas(
-    src, centers, idx, layers, am, gcot, layout, slope, interpret
+    src, centers, idx, layers, am, gcot, layout, slope, interpret,
+    pool="max", pre_act=False,
 ):
     bsz, n, _ = src.shape
     g, k = idx.shape[1], idx.shape[2]
     d, p, _ = _layout_widths(layout)
     cout = gcot.shape[-1]
     gpb = _groups_per_block(k, g)
-    centers_p, idx_p, am_p, gcot_p = _pad_group_arrays(
-        gpb, centers, idx, am, gcot.astype(jnp.float32)
-    )
+    if pool == "mean":
+        centers_p, idx_p, gcot_p = _pad_group_arrays(
+            gpb, centers, idx, gcot.astype(jnp.float32)
+        )
+        am_p = None
+    else:
+        centers_p, idx_p, am_p, gcot_p = _pad_group_arrays(
+            gpb, centers, idx, am, gcot.astype(jnp.float32)
+        )
     ng = idx_p.shape[1] // gpb
     gmat = build_gather_matrix(src, layout)
     cc = centers.shape[2]
     idx4 = idx_p.reshape(bsz, ng, gpb, k)
     idxt = jnp.swapaxes(idx4, 2, 3)  # [B, ng, K, gpb]
     ctr4 = centers_p.reshape(bsz, ng, gpb, cc)
-    am4 = am_p.reshape(bsz, ng, gpb, cout)
     gcot4 = gcot_p.reshape(bsz, ng, gpb, cout)
     pspecs, pargs = _layer_specs(layers)
     kern = functools.partial(
         _gather_bwd_kernel, layout, k, n, d, _num_limbs(src.dtype),
-        len(layers), slope
+        len(layers), slope, pool, pre_act,
     )
+    cot_spec = pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0))
+    if pool == "mean":
+        tail_specs, tail_args = [cot_spec], [gcot4]
+    else:
+        am4 = am_p.reshape(bsz, ng, gpb, cout)
+        tail_specs, tail_args = [cot_spec, cot_spec], [am4, gcot4]
     dgath, dctr = pl.pallas_call(
         kern,
         grid=(bsz, ng),
@@ -379,8 +466,7 @@ def _gather_bwd_pallas(
             pl.BlockSpec((1, 1, k, gpb), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, gpb, k), lambda i, j: (i, j, 0, 0)),
             *pspecs,
-            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, gpb, cout), lambda i, j: (i, j, 0, 0)),
+            *tail_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, n, d + p), lambda i, j: (i, 0, 0)),
@@ -391,7 +477,7 @@ def _gather_bwd_pallas(
             jax.ShapeDtypeStruct((bsz, ng, gpb, cc), jnp.float32),
         ],
         interpret=interpret,
-    )(gmat, ctr4, idxt, idx4, *pargs, am4, gcot4)
+    )(gmat, ctr4, idxt, idx4, *pargs, *tail_args)
     dctr = dctr.reshape(bsz, ng * gpb, cc)
     # un-concatenate the gathered-column cotangents back to src columns
     dsrc = jnp.zeros(src.shape, jnp.float32)
@@ -411,16 +497,9 @@ def _gather_bwd_pallas(
     return dsrc.astype(src.dtype), dctr[:, :g].astype(centers.dtype)
 
 
-def reference_gather_chain_groupmax(
-    src, centers, idx, layers, layout, slope: float = 0.0
-):
-    """Unfused oracle: XLA gather + row construction + chain + max —
-    the exact op sequence the kernel replaces (gathers reconstruct f32
-    exactly, matching index_points)."""
+def _reference_rows(src, centers, idx, layout):
+    """Unfused row construction: XLA gather + layout assembly (f32)."""
     from pointcloudattack_tpu.ops.gather import index_points
-    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
-        reference_mlp_chain_groupmax,
-    )
 
     nbr = index_points(src.astype(jnp.float32), idx)  # [B, G, K, C]
     k = idx.shape[2]
@@ -445,24 +524,70 @@ def reference_gather_chain_groupmax(
                     nbr.shape[:2] + (k, s[2] - s[1]),
                 )
             )
-    grouped = jnp.concatenate(segs, axis=-1)
+    return jnp.concatenate(segs, axis=-1)
+
+
+def reference_gather_chain_groupmax(
+    src, centers, idx, layers, layout, slope: float = 0.0,
+    pre_act: bool = False,
+):
+    """Unfused oracle: XLA gather + row construction + chain + max —
+    the exact op sequence the kernel replaces (gathers reconstruct f32
+    exactly, matching index_points)."""
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        _act,
+        reference_mlp_chain_groupmax,
+    )
+
+    grouped = _reference_rows(src, centers, idx, layout)
+    if pre_act:
+        grouped = _act(grouped, slope)
     return reference_mlp_chain_groupmax(grouped, layers, slope)
+
+
+def reference_gather_chain_groupmean(
+    src, centers, idx, layers, layout, slope: float = 0.0,
+    pre_act: bool = False,
+):
+    """Unfused oracle for the mean-pool variant (every layer
+    activated; optional row pre-activation — CurveNet residual LPFA,
+    reference curvenet_util.py:203-236)."""
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        _act,
+        reference_mlp_chain_groupmean,
+    )
+
+    grouped = _reference_rows(src, centers, idx, layout)
+    if pre_act:
+        grouped = _act(grouped, slope)
+    return reference_mlp_chain_groupmean(grouped, layers, slope)
 
 
 _OP_CACHE: dict = {}
 
 
-def _make_gather_op(layout, slope: float, interpret: bool):
+def _make_gather_op(
+    layout, slope: float, interpret: bool,
+    pool: str = "max", pre_act: bool = False,
+):
+    reference = (
+        reference_gather_chain_groupmean
+        if pool == "mean"
+        else reference_gather_chain_groupmax
+    )
+
     @jax.custom_vjp
     def op(src, centers, idx, layers):
         y, _ = _gather_fwd_pallas(
-            src, centers, idx, layers, layout, slope, interpret
+            src, centers, idx, layers, layout, slope, interpret,
+            pool=pool, pre_act=pre_act,
         )
         return y
 
     def fwd(src, centers, idx, layers):
         y, am = _gather_fwd_pallas(
-            src, centers, idx, layers, layout, slope, interpret
+            src, centers, idx, layers, layout, slope, interpret,
+            pool=pool, pre_act=pre_act,
         )
         return y, (src, centers, idx, layers, am)
 
@@ -471,12 +596,15 @@ def _make_gather_op(layout, slope: float, interpret: bool):
         dy = dy.astype(jnp.float32)
         mul_last = layers[-1][3].astype(jnp.float32)
         g = dy * mul_last[None, None, :]
+        if pool == "mean":
+            g = g / idx.shape[2]
         dsrc, dctr = _gather_bwd_pallas(
-            src, centers, idx, layers, am, g, layout, slope, interpret
+            src, centers, idx, layers, am, g, layout, slope, interpret,
+            pool=pool, pre_act=pre_act,
         )
         _, ref_vjp = jax.vjp(
-            lambda ls: reference_gather_chain_groupmax(
-                src, centers, idx, ls, layout, slope
+            lambda ls: reference(
+                src, centers, idx, ls, layout, slope, pre_act
             ),
             layers,
         )
@@ -503,14 +631,53 @@ def gather_chain_groupmax(
     [B, G, K, *] tensor — grouped input or layer map — touches HBM in
     either direction.
     """
-    key = (layout, float(slope), bool(interpret))
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        DISPATCH_COUNT,
+        pad_last_layer,
+    )
+
+    DISPATCH_COUNT["gather"] += 1
+    layers, cout = pad_last_layer(layers)
+    key = (layout, float(slope), bool(interpret), "max", False)
     if key not in _OP_CACHE:
         _OP_CACHE[key] = _make_gather_op(
             layout, float(slope), bool(interpret)
         )
-    return _OP_CACHE[key](
+    y = _OP_CACHE[key](
         src, centers, idx, tuple(tuple(l) for l in layers)
     )
+    return y[..., :cout]
+
+
+def gather_chain_groupmean(
+    src, centers, idx, layers, layout,
+    interpret: bool = False, slope: float = 0.0, pre_act: bool = False,
+):
+    """In-kernel gather + (optional row activation) + L-layer chain
+    (EVERY layer activated) + mean over neighbours.
+
+    CurveNet's residual LPFA (reference curvenet_util.py:203-236)
+    becomes this op after folding xyz2feature+BN into the gather
+    sources (models/curvenet.py): rows = act(gather(src) - center),
+    then the chain, then the segment mean.
+    """
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        DISPATCH_COUNT,
+        pad_last_layer,
+    )
+
+    DISPATCH_COUNT["gather"] += 1
+    layers, cout = pad_last_layer(layers)
+    key = (layout, float(slope), bool(interpret), "mean", bool(pre_act))
+    if key not in _OP_CACHE:
+        _OP_CACHE[key] = _make_gather_op(
+            layout, float(slope), bool(interpret),
+            pool="mean", pre_act=bool(pre_act),
+        )
+    y = _OP_CACHE[key](
+        src, centers, idx, tuple(tuple(l) for l in layers)
+    )
+    return y[..., :cout]
 
 
 def use_gather_chain_kernel(

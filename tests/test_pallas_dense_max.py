@@ -475,6 +475,10 @@ class TestDGCNNFusedEdgeConv:
             return nn.leaky_relu(jnp.max(z, axis=2), negative_slope=0.2)
 
         monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", True)
+        # force the chain tier on: the shipped FUSED_POLICY turns it
+        # off for dgcnn (measured regression), but this test is about
+        # the KERNEL, not the policy
+        monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "enabled", True)
         fused = m.apply(v, x, train=False)
         g_fused = jax.grad(
             lambda a: m.apply(v, a, train=False)[:, :, 0].sum()
@@ -500,6 +504,7 @@ class TestDGCNNFusedEdgeConv:
         x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 3)) * 0.5
         lp_std, _ = m.apply(v, x, train=False)
         monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "interpret", True)
+        monkeypatch.setitem(mcommon.FUSED_MAXPOOL, "enabled", True)
         lp_fused, _ = m.apply(v, x, train=False)
         np.testing.assert_allclose(
             np.asarray(lp_fused), np.asarray(lp_std), atol=0.2

@@ -186,13 +186,26 @@ def test_model_forward_bitexact_with_gather_fusion(model_key):
     prior = dict(FUSED_MAXPOOL)
     try:
         FUSED_MAXPOOL["interpret"] = True
+        # pin the chain tier ON in both arms (bit-exactness is a
+        # gather-vs-chain contract; the shipped FUSED_POLICY turns the
+        # chain off for dgcnn)
+        FUSED_MAXPOOL["enabled"] = True
         FUSED_MAXPOOL["gather"] = False
         y0, g0 = fn(x), jax.grad(loss)(x)
         FUSED_MAXPOOL["gather"] = True
         y1, g1 = fn(x), jax.grad(loss)(x)
     finally:
         FUSED_MAXPOOL.update(prior)
-    np.testing.assert_array_equal(y0, y1)
+    if model_key == "CurveNet":
+        # CurveNet's residual-LPFA gather fusion folds xyz2feature+BN
+        # into the gather sources, splitting the reference's one 9-wide
+        # matmul into two 3-wide ones (models/curvenet.py) — an f32
+        # sum-order deviation, NOT a truncation: forward stays within
+        # ~1e-4 relative (hardware screen: scripts/tpu_parity_fused.py
+        # CurveNet row, grad_cos >= 0.995).
+        np.testing.assert_allclose(y1, y0, rtol=0, atol=5e-4)
+    else:
+        np.testing.assert_array_equal(y0, y1)
     scale = float(jnp.max(jnp.abs(g0)))
     np.testing.assert_allclose(g1, g0, atol=2e-3 * scale)
 
