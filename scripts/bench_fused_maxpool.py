@@ -34,8 +34,14 @@ VICTIMS = {
     # name -> (model key, batch, iters, dtypes)
     "pointnet": ("PointNet", 64, 200, ("f32", "bf16")),
     "ssg": ("PointNet++Ssg", 16, 100, ("f32",)),
+    "msg": ("PointNet++Msg", 8, 100, ("f32",)),
     "dgcnn": ("DGCNN", 16, 100, ("f32",)),
+    "curvenet": ("CurveNet", 8, 100, ("f32",)),
 }
+
+# grouped-op victims with the in-kernel gather fusion wired: these get
+# a third gather_on arm (CurveNet: initial LPFA + CIC blocks)
+_GATHER_VICTIMS = ("ssg", "msg", "dgcnn", "curvenet")
 
 # PCA_BENCH_SMOKE=1 + PCA_BENCH_PLATFORM=cpu: tiny harness screen (see
 # bench.py) — validates all arms build/run without the TPU
@@ -124,9 +130,9 @@ def main():
         ("fused_off",
          {"PCA_FUSED_MAXPOOL": "0", "PCA_FUSED_GATHER": "0"}),
     ]
-    if args.victim in ("ssg", "dgcnn"):
+    if args.victim in _GATHER_VICTIMS:
         # in-kernel gather fusion rides on top of the fused chain —
-        # only meaningful for grouped victims (PCA_FUSED_GATHER opt-in)
+        # only meaningful for grouped victims
         arms.insert(0, (
             "gather_on",
             {"PCA_FUSED_MAXPOOL": "1", "PCA_FUSED_GATHER": "1"},

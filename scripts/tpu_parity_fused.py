@@ -82,9 +82,14 @@ def run_victim(model_key: str, batch: int, n: int, thresholds) -> dict:
         model, jax.random.PRNGKey(0), num_points=n, batch=batch
     )
 
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        DISPATCH_COUNT,
+    )
+
     def arm(enabled: bool):
         prior = FUSED_MAXPOOL["enabled"]
         FUSED_MAXPOOL["enabled"] = enabled
+        before = dict(DISPATCH_COUNT)
         try:
             jax.clear_caches()  # traces hold the other arm's dispatch
             fn = make_model_fn(model, variables)
@@ -97,12 +102,17 @@ def run_victim(model_key: str, batch: int, n: int, thresholds) -> dict:
             y, g = jax.jit(
                 lambda a: (fn(a), jax.grad(loss)(a))
             )(x)
-            return np.asarray(y), np.asarray(g)
+            dispatched = {
+                k: DISPATCH_COUNT[k] - before[k]
+                for k in DISPATCH_COUNT
+                if DISPATCH_COUNT[k] != before[k]
+            }
+            return np.asarray(y), np.asarray(g), dispatched
         finally:
             FUSED_MAXPOOL["enabled"] = prior
 
-    y1, g1 = arm(True)
-    y0, g0 = arm(False)
+    y1, g1, dispatched = arm(True)
+    y0, g0, off_dispatched = arm(False)
     fwd_diff = float(np.max(np.abs(y1 - y0)))
     grad_scale = float(np.max(np.abs(g0))) or 1.0
     grad_diff = float(np.max(np.abs(g1 - g0)))
@@ -123,6 +133,20 @@ def run_victim(model_key: str, batch: int, n: int, thresholds) -> dict:
         "grad_scale": grad_scale,
         "grad_cos": round(grad_cos, 6),
         "grad_flip_frac": flip_frac,
+        # the EFFECTIVE screen this victim was judged against (advisor:
+        # per-victim GRAD_COS_MIN overrides were previously unrecorded)
+        "thresholds": {
+            "fwd_tol": fwd_tol,
+            "grad_cos_min": cos_min,
+            "grad_flip_frac_max": flip_max,
+        },
+        # trace-time kernel-dispatch deltas of the fused arm: proves the
+        # screened kernels actually engaged (advisor: a bit-identical
+        # +gather row is ambiguous without this).  off_arm_dispatched
+        # should be empty — fused entry points firing with the flag off
+        # would itself be a wiring bug worth seeing here.
+        "fused_arm_dispatched": dispatched,
+        "off_arm_dispatched": off_dispatched,
         "pass": bool(
             np.isfinite(y1).all()
             and np.isfinite(g1).all()
@@ -158,7 +182,21 @@ def main():
         # never RAISE a platform's screen (CPU runs at 0.90 already)
         return (fwd_tol, min(cos_min, GRAD_COS_MIN.get(tag, 1.0)), flip_max)
 
-    out = {"platform": platform, "thresholds": thresholds}
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=_REPO,
+            capture_output=True, text=True,
+        ).stdout.strip()
+    except Exception:
+        sha = ""
+    out = {
+        "platform": platform,
+        "thresholds": thresholds,
+        "grad_cos_min_overrides": GRAD_COS_MIN,
+        "commit": sha,
+    }
     ok = True
     for model_key, batch, n in VICTIMS:
         try:
@@ -183,6 +221,15 @@ def main():
             tag = f"{model_key}+gather"
             try:
                 r = run_victim(model_key, batch, n, _for(tag))
+                # on real hardware a +gather row that never dispatched
+                # the gather kernel screens NOTHING (gate rejected the
+                # shape) — that is a failure of the screen, not a pass
+                engaged = bool(
+                    r.get("fused_arm_dispatched", {}).get("gather")
+                )
+                r["gather_engaged"] = engaged
+                if platform == "tpu" and not engaged:
+                    r["pass"] = False
             except Exception as e:
                 r = {
                     "error": f"{type(e).__name__}: {e}"[:200],
