@@ -86,29 +86,87 @@ if _SMOKE:
 PEAK_FLOPS = 197e12
 
 
-def _time_enqueued(run, fetch, reps=3):
-    """Mean seconds/run: enqueue reps runs, fence with one host fetch."""
+def _time_enqueued(run, fetch, reps=3, per_rep=False):
+    """Seconds/run: enqueue reps runs, fence with one host fetch.
+
+    per_rep=True fences EVERY rep (one ~25 ms fetch each) and returns
+    ``(mean, min)`` — for slow families (seconds per batch) where the
+    fetch overhead is negligible but run-to-run tunnel noise is not
+    (round-3 verdict: with aggregate-only timing "nobody can tell
+    regression from noise").  Default returns ``(mean, None)``: fast
+    families keep the single-fence pipeline, where a per-rep fetch
+    would serialize the queue and bias the number.
+    """
     np.asarray(fetch(run(0)))  # compile + warm
+    if per_rep:
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fetch(run(1 + i)))
+            times.append(time.perf_counter() - t0)
+        return sum(times) / reps, min(times)
     t0 = time.perf_counter()
     outs = [run(1 + i) for i in range(reps)]
     np.asarray(fetch(outs[-1]))
-    return (time.perf_counter() - t0) / reps
+    return (time.perf_counter() - t0) / reps, None
 
 
-def _mfu(jitted, dt, *args, iters=1):
+_FLOPS_CACHE: dict = {}
+
+
+def _flops_unfused(fn, *args):
+    """Total FLOPs of ``fn(*args)`` from its UNFUSED lowering on the
+    XLA:CPU backend.
+
+    cost_analysis cannot see inside ``tpu_custom_call``, so any program
+    dispatching Pallas kernels under-reports FLOPs (round 3: headline
+    MFU read 0.0016 at HIGHER throughput than round 2's 0.24).  Forcing
+    the fused-kernel flags off and lowering the SAME trace for CPU
+    yields a program where every matmul is an explicit XLA HLO — the
+    semantic FLOP count of the computation, independent of which
+    backend or kernel path actually ran (every Pallas dispatch gate
+    sits behind ops.backend.use_mosaic_kernels(), False on CPU).
+    """
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    prior = dict(FUSED_MAXPOOL)
+    FUSED_MAXPOOL["enabled"] = False
+    FUSED_MAXPOOL["gather"] = False
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            ca = (
+                jax.jit(lambda *a: fn(*a))
+                .lower(*args)
+                .compile()
+                .cost_analysis()
+            )
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca["flops"])
+    finally:
+        FUSED_MAXPOOL.update(prior)
+
+
+def _mfu(jitted, dt, *args, iters=1, key=None):
     """Model FLOP utilization of one call taking ``dt`` seconds.
 
-    XLA's cost_analysis counts a ``lax.scan`` body ONCE regardless of
-    trip count, so the caller passes the loop count explicitly (for the
-    attack jits: binary_step * num_iter) — without it the CW MFU reads
-    ~0.001 instead of the measured 0.24 (BENCH.md roofline section).
-    Approximate: one-time out-of-scan work (e.g. AOF's spectral basis)
-    is also multiplied, so loop-light families read slightly high.
+    FLOPs come from :func:`_flops_unfused` (Pallas-blind cost_analysis
+    fixed in round 4).  XLA's cost_analysis counts a ``lax.scan`` body
+    ONCE regardless of trip count, so the caller passes the loop count
+    explicitly (for the attack jits: binary_step * num_iter) — without
+    it the CW MFU reads ~0.001 instead of the measured 0.24 (BENCH.md
+    roofline section).  Approximate: one-time out-of-scan work (e.g.
+    AOF's spectral basis) is also multiplied, so loop-light families
+    read slightly high.  ``key`` caches the CPU lowering per family.
     """
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        return round(float(ca["flops"]) * iters / dt / PEAK_FLOPS, 4)
+        if key is not None and key in _FLOPS_CACHE:
+            flops = _FLOPS_CACHE[key]
+        else:
+            flops = _flops_unfused(jitted, *args)
+            if key is not None:
+                _FLOPS_CACHE[key] = flops
+        return round(flops * iters / dt / PEAK_FLOPS, 4)
     except Exception:
         return None
 
@@ -132,7 +190,7 @@ def bench_cw(compute_dtype=None):
     )
     attack = build_cw_attack(model_fn, cfg)
 
-    dt = _time_enqueued(
+    dt, _ = _time_enqueued(
         lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
         lambda res: res.best_dist,
     )
@@ -142,15 +200,18 @@ def bench_cw(compute_dtype=None):
         "mfu": _mfu(
             attack, dt, data, target, jax.random.PRNGKey(0),
             iters=BINARY_STEPS * NUM_ITER,
+            key=("cw", compute_dtype is not None),
         ),
     }
 
 
-def _bench_cw_victim(model_key, seed, gather=False, reps=3):
-    """CW on a grouped-op victim, B=16, 100 iters.  ``gather=True``
-    times the opt-in in-kernel gather fusion (PCA_FUSED_GATHER) — its
-    A/B vs the base family is the decision data for flipping the
-    default (ops/pallas/gather_chain_kernel.py)."""
+def _bench_cw_victim(model_key, seed, gather=None, chain=None, reps=3):
+    """CW on a grouped-op victim, B=16, 100 iters.
+
+    ``gather``/``chain``: None measures the SHIPPED per-family policy
+    (models.common.FUSED_POLICY); True/False force that tier for an
+    explicit A/B arm (full A/B matrix: scripts/bench_fused_maxpool.py).
+    """
     from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
 
     b, iters = (4, 3) if _SMOKE else (16, 100)
@@ -166,36 +227,45 @@ def _bench_cw_victim(model_key, seed, gather=False, reps=3):
         binary_step=1, num_iter=iters, kappa=30.0, budget=0.18
     )
     attack = build_cw_attack(model_fn, cfg)
-    prior = FUSED_MAXPOOL["gather"]
-    FUSED_MAXPOOL["gather"] = bool(gather)
+    prior = dict(FUSED_MAXPOOL)
+    if gather is not None:
+        FUSED_MAXPOOL["gather"] = bool(gather)
+    if chain is not None:
+        FUSED_MAXPOOL["enabled"] = bool(chain)
     try:
-        dt = _time_enqueued(
+        dt, dt_min = _time_enqueued(
             lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
             lambda res: res.best_dist,
             reps=reps,
+            per_rep=True,  # seconds/batch: fence each rep, report min
         )
         mfu = _mfu(
-            attack, dt, data, target, jax.random.PRNGKey(0), iters=iters
+            attack, dt, data, target, jax.random.PRNGKey(0), iters=iters,
+            key=("cw_victim", model_key),
         )
     finally:
-        FUSED_MAXPOOL["gather"] = prior
+        FUSED_MAXPOOL.update(prior)
     return {
         "clouds_per_sec": round(b / dt, 3),
+        "clouds_per_sec_best": round(b / dt_min, 3),
         "sec_per_batch": round(dt, 4),
         "mfu": mfu,
     }
 
 
-def bench_cw_dgcnn(gather=False):
+def bench_cw_dgcnn(gather=None, chain=None):
     """CW on the heaviest gradient victim (DGCNN, Pallas kNN + bit-exact
-    tri gather via custom_vjp)."""
-    return _bench_cw_victim("DGCNN", seed=3, gather=gather)
+    tri gather via custom_vjp).  Default = shipped policy (round-4:
+    fused chain OFF — the measured 2x regression of round 3)."""
+    return _bench_cw_victim("DGCNN", seed=3, gather=gather, chain=chain)
 
 
-def bench_cw_ssg(gather=False):
+def bench_cw_ssg(gather=None, chain=None):
     """CW on PointNet++ SSG (FPS + ball query + grouped set-abstraction
-    MLPs — the grouped fused chain+max kernel's showcase)."""
-    return _bench_cw_victim("PointNet++Ssg", seed=6, gather=gather, reps=2)
+    MLPs).  Default = shipped policy (round-4: chain + gather ON)."""
+    return _bench_cw_victim(
+        "PointNet++Ssg", seed=6, gather=gather, chain=chain
+    )
 
 
 def bench_aof():
@@ -215,7 +285,7 @@ def bench_aof():
         budget=0.45, low_pass=16 if _SMOKE else 100,
     )
     attack = build_aof_attack(model_fn, cfg)
-    dt = _time_enqueued(
+    dt, _ = _time_enqueued(
         lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
         lambda out: out[1],
     )
@@ -224,7 +294,7 @@ def bench_aof():
         "sec_per_batch": round(dt, 4),
         "mfu": _mfu(
             attack, dt, data, target, jax.random.PRNGKey(0),
-            iters=cfg.binary_step * cfg.num_iter,
+            iters=cfg.binary_step * cfg.num_iter, key=("aof",),
         ),
     }
 
@@ -254,32 +324,38 @@ def bench_knn(iters: int = 2500, nn_refresh: int = 1):
         nn_refresh=nn_refresh,
     )
     attack = build_knn_attack(model_fn, cfg)
-    dt = _time_enqueued(
+    dt, dt_min = _time_enqueued(
         lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
         lambda out: out[1],
-        reps=2,
+        reps=3,
+        per_rep=True,  # ~7 s/batch: reps floor + min (verdict task 9)
     )
     return {
         "clouds_per_sec": round(BATCH / dt, 3),
+        "clouds_per_sec_best": round(BATCH / dt_min, 3),
         "sec_per_batch": round(dt, 4),
         "mfu": _mfu(
-            attack, dt, data, target, jax.random.PRNGKey(0), iters=iters
+            attack, dt, data, target, jax.random.PRNGKey(0), iters=iters,
+            key=("knn",),
         ),
     }
 
 
-def bench_geoa3(curv_knn_refresh: int = 1):
+def bench_geoa3(b: int = 8):
     """GeoA3 (the reference repo's flagship attack) at its reference
-    default schedule (10 binary rounds x 500 iters), B=8.
-    curv_knn_refresh=4 is the cached curvature self-kNN fast path (ASR
-    parity pinned in tests/test_attack_families.py)."""
+    default schedule (10 binary rounds x 500 iters).  B=8 is the
+    reference Eval_GeoA3.py batch; the b=32 arm amortizes the per-iter
+    dispatch/serialization overhead of the latency-bound loop over 4x
+    clouds (binary search + losses are per-example, so batch size is
+    throughput-only, not semantics).  The round-3 curv_knn_refresh arm
+    measured NEGATIVE (cache 1.5x slower than recomputing) and was
+    removed — see BENCH.md "measured negative results"."""
     from pointcloudattack_tpu.attacks.geoa3 import (
         GeoA3Config,
         build_geoa3_attack,
     )
 
-    b = 8
-    clouds, labels = make_synthetic_clouds(8, 1, NUM_POINTS, seed=5)
+    clouds, labels = make_synthetic_clouds(max(b, 8), 1, NUM_POINTS, seed=5)
     data = jnp.asarray(clouds[:b])
     target = jnp.asarray(labels[:b])
     model = models.make_model("PointNet", NUM_CLASSES)
@@ -290,20 +366,22 @@ def bench_geoa3(curv_knn_refresh: int = 1):
     cfg = GeoA3Config(
         binary_max_steps=2 if _SMOKE else 10,
         iter_max_steps=3 if _SMOKE else 500,
-        curv_knn_refresh=curv_knn_refresh,
     )
     attack = build_geoa3_attack(model_fn, cfg)
-    dt = _time_enqueued(
+    dt, dt_min = _time_enqueued(
         lambda i: attack(data, target, jax.random.PRNGKey(1 + i)),
         lambda out: out[1],
-        reps=2,
+        reps=3,
+        per_rep=True,  # ~9 s/batch: reps floor + min (verdict task 9)
     )
     return {
         "clouds_per_sec": round(b / dt, 3),
+        "clouds_per_sec_best": round(b / dt_min, 3),
         "sec_per_batch": round(dt, 4),
         "mfu": _mfu(
             attack, dt, data, target, jax.random.PRNGKey(0),
             iters=cfg.binary_max_steps * cfg.iter_max_steps,
+            key=("geoa3", b),
         ),
     }
 
@@ -329,13 +407,16 @@ def bench_si_ifgm(normal_refresh: int = 1):
                       max_steps=3 if _SMOKE else 50,
                       normal_refresh=normal_refresh)
     attack = build_si_ifgm(model_fn, model_fn, cfg)
-    dt = _time_enqueued(
+    dt, _ = _time_enqueued(
         lambda i: attack(data + 0e0 * i, target), lambda out: out[1]
     )
     return {
         "clouds_per_sec": round(b / dt, 3),
         "sec_per_batch": round(dt, 4),
-        "mfu": _mfu(attack, dt, data, target, iters=cfg.max_steps),
+        "mfu": _mfu(
+            attack, dt, data, target, iters=cfg.max_steps,
+            key=("si_ifgm",),
+        ),
     }
 
 
@@ -351,10 +432,12 @@ def _run_family(fn):
         retry_without_fused_maxpool,
     )
 
-    was_enabled = FUSED_MAXPOOL["enabled"]
+    from pointcloudattack_tpu.models.common import fused_state
+
+    was_off = FUSED_MAXPOOL["enabled"] is False
     out = retry_without_fused_maxpool(fn)
-    out["fused_maxpool"] = FUSED_MAXPOOL["enabled"]
-    if was_enabled and not FUSED_MAXPOOL["enabled"]:
+    out["fused"] = fused_state()
+    if not was_off and FUSED_MAXPOOL["enabled"] is False:
         out["fused_maxpool_disabled_after"] = FUSED_MAXPOOL[
             "disabled_reason"
         ]
@@ -373,16 +456,21 @@ def main():
     t0 = time.time()
     cw = _run_family(bench_cw)
     families = {"cw": cw}
+    # base families measure the SHIPPED per-victim policy
+    # (models.common.FUSED_POLICY); *_gather/*_fused arms FORCE a tier
+    # for an in-driver A/B (full matrix: scripts/bench_fused_maxpool.py)
     for name, fn in (
         ("cw_bf16", lambda: bench_cw(jnp.bfloat16)),
         ("cw_dgcnn", bench_cw_dgcnn),
-        ("cw_dgcnn_gather", lambda: bench_cw_dgcnn(gather=True)),
+        ("cw_dgcnn_gather",
+         lambda: bench_cw_dgcnn(gather=True, chain=True)),
         ("cw_ssg", bench_cw_ssg),
-        ("cw_ssg_gather", lambda: bench_cw_ssg(gather=True)),
+        ("cw_ssg_nofuse",
+         lambda: bench_cw_ssg(gather=False, chain=False)),
         ("knn", bench_knn),
         ("knn_r5", lambda: bench_knn(nn_refresh=5)),
         ("geoa3", bench_geoa3),
-        ("geoa3_r4", lambda: bench_geoa3(curv_knn_refresh=4)),
+        ("geoa3_b32", lambda: bench_geoa3(b=32)),
         ("aof", bench_aof),
         ("si_ifgm", bench_si_ifgm),
         ("si_ifgm_r5", lambda: bench_si_ifgm(normal_refresh=5)),
@@ -391,16 +479,28 @@ def main():
             families[name] = {"skipped": "time_budget"}
             continue
         try:
-            if name.endswith("_gather"):
-                # opt-in experimental arm: a Mosaic rejection here must
-                # NOT disable the (default-on) fused chain kernels for
-                # the remaining families — record the error and move on
+            if name.endswith(("_gather", "_nofuse")):
+                # forced A/B arm: a Mosaic rejection here must NOT
+                # disable the fused kernels for the remaining families
+                # — record the error and move on
                 families[name] = fn()
             else:
                 families[name] = _run_family(fn)
         except Exception as e:  # keep the headline alive on any breakage
             families[name] = {"error": str(e)[:200]}
 
+    import subprocess
+
+    from pointcloudattack_tpu.models.common import FUSED_POLICY
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True,
+        ).stdout.strip()
+    except Exception:
+        sha = ""
     print(
         json.dumps(
             {
@@ -411,15 +511,18 @@ def main():
                 "unit": "clouds/s",
                 "vs_baseline": round(cw["clouds_per_sec"] / 1.0, 3),
                 "mfu": cw["mfu"],
-                # cost_analysis counts scan bodies once; mfu multiplies
-                # by the loop count, so one-time out-of-scan work is
-                # overcounted — mfu is an UPPER bound, loosest for
-                # loop-light families (aof, si_ifgm)
-                "mfu_method": "scan_body_flops_x_iters_upper_bound",
+                # FLOPs from the unfused XLA:CPU lowering (Pallas-blind
+                # cost_analysis fixed in round 4); scan bodies counted
+                # once then multiplied by the loop count, so one-time
+                # out-of-scan work is overcounted — mfu is an UPPER
+                # bound, loosest for loop-light families (aof, si_ifgm)
+                "mfu_method": "unfused_cpu_lowering_flops_x_iters",
                 # the HEADLINE's provenance: the fused-kernel state cw
                 # was measured under (a later family may flip the
                 # process-wide flag; per-family state is in families.*)
-                "fused_maxpool": cw["fused_maxpool"],
+                "fused": cw["fused"],
+                "fused_policy": FUSED_POLICY,
+                "commit": sha,
                 "families": families,
             }
         )
