@@ -232,3 +232,84 @@ def test_tri_gather_value_and_grad_match_exact():
     np.testing.assert_allclose(
         np.asarray(g_tri), np.asarray(g_exact), rtol=1e-5, atol=1e-5
     )
+
+
+class TestFusedPolicy:
+    """Tri-state force knobs vs the per-victim FUSED_POLICY table
+    (models/common.py — round-4 defaults from the measured TPU A/B,
+    decision data in BENCH.md)."""
+
+    def _with(self, enabled, gather, fn):
+        from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+        prior = dict(FUSED_MAXPOOL)
+        FUSED_MAXPOOL["enabled"] = enabled
+        FUSED_MAXPOOL["gather"] = gather
+        try:
+            return fn()
+        finally:
+            FUSED_MAXPOOL.update(prior)
+
+    def test_policy_defaults(self):
+        from pointcloudattack_tpu.models.common import (
+            fused_chain_on,
+            fused_gather_on,
+        )
+
+        f32, bf16 = jnp.float32, jnp.bfloat16
+        checks = lambda: (
+            fused_chain_on("pointnet", f32),
+            fused_chain_on("pointnet", bf16),  # bf16: XLA fusion wins
+            fused_chain_on("dgcnn", f32),      # measured regression
+            fused_gather_on("ssg", f32),
+            fused_gather_on("dgcnn", f32),
+        )
+        assert self._with(None, None, checks) == (
+            True, False, False, True, False
+        )
+
+    def test_force_flags_override_policy(self):
+        from pointcloudattack_tpu.models.common import (
+            fused_chain_on,
+            fused_gather_on,
+        )
+
+        f32 = jnp.float32
+        on = self._with(True, True, lambda: (
+            fused_chain_on("dgcnn", f32), fused_gather_on("dgcnn", f32)
+        ))
+        assert on == (True, True)
+        off = self._with(False, False, lambda: (
+            fused_chain_on("pointnet", f32), fused_gather_on("ssg", f32)
+        ))
+        assert off == (False, False)
+
+    def test_master_kill_switch_disables_gather(self):
+        # enabled=False must kill the gather tier even when the gather
+        # knob itself is forced on (the gather kernel subsumes the
+        # chain — one kill switch turns EVERYTHING off)
+        from pointcloudattack_tpu.models.common import fused_gather_on
+
+        assert self._with(
+            False, True, lambda: fused_gather_on("ssg", jnp.float32)
+        ) is False
+
+    def test_unknown_family_falls_through(self):
+        from pointcloudattack_tpu.models.common import (
+            fused_chain_on,
+            fused_gather_on,
+        )
+
+        res = self._with(None, None, lambda: (
+            fused_chain_on("", jnp.float32),
+            fused_gather_on("", jnp.float32),
+        ))
+        assert res == (True, False)  # chain default-on, gather opt-in
+
+    def test_fused_state_string(self):
+        from pointcloudattack_tpu.models.common import fused_state
+
+        assert self._with(
+            None, None, fused_state
+        ) == "chain=policy gather=policy"
+        assert self._with(True, False, fused_state) == "chain=on gather=off"
