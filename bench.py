@@ -205,8 +205,10 @@ def bench_cw(compute_dtype=None):
     }
 
 
-def _bench_cw_victim(model_key, seed, gather=None, chain=None, reps=3):
-    """CW on a grouped-op victim, B=16, 100 iters.
+def _bench_cw_victim(
+    model_key, seed, gather=None, chain=None, reps=3, b=16
+):
+    """CW on a grouped-op victim, 100 iters.
 
     ``gather``/``chain``: None measures the SHIPPED per-family policy
     (models.common.FUSED_POLICY); True/False force that tier for an
@@ -214,7 +216,7 @@ def _bench_cw_victim(model_key, seed, gather=None, chain=None, reps=3):
     """
     from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
 
-    b, iters = (4, 3) if _SMOKE else (16, 100)
+    b, iters = (4, 3) if _SMOKE else (b, 100)
     clouds, labels = make_synthetic_clouds(8, max(1, b // 8), NUM_POINTS, seed=seed)
     data = jnp.asarray(clouds[:b])
     target = jnp.asarray(labels[:b])
@@ -266,6 +268,14 @@ def bench_cw_ssg(gather=None, chain=None):
     return _bench_cw_victim(
         "PointNet++Ssg", seed=6, gather=gather, chain=chain
     )
+
+
+def bench_cw_curvenet():
+    """CW on CurveNet (the compile- and gather-heaviest victim; the
+    round-4 mean-pool gather fusion's target — initial LPFA + residual
+    CIC blocks).  B=8 matches the A/B config in
+    scripts/bench_fused_maxpool.py."""
+    return _bench_cw_victim("CurveNet", seed=9, b=8)
 
 
 def bench_aof():
@@ -448,7 +458,7 @@ def _run_family(fn):
 # the axon tunnel every distinct executable pays ~60-130 s of server
 # first-execution, and a lost headline (driver timeout) costs more than
 # a skipped tail family.  PCA_BENCH_BUDGET_S overrides (0 = unlimited).
-_FAMILY_BUDGET_S = float(os.environ.get("PCA_BENCH_BUDGET_S", "2400") or 0)
+_FAMILY_BUDGET_S = float(os.environ.get("PCA_BENCH_BUDGET_S", "3000") or 0)
 
 
 def main():
@@ -474,6 +484,9 @@ def main():
         ("aof", bench_aof),
         ("si_ifgm", bench_si_ifgm),
         ("si_ifgm_r5", lambda: bench_si_ifgm(normal_refresh=5)),
+        # compile-heaviest victim LAST: if the budget trips, the
+        # verdict-tracked families above still get measured
+        ("cw_curvenet", bench_cw_curvenet),
     ):
         if _FAMILY_BUDGET_S and time.time() - t0 > _FAMILY_BUDGET_S:
             families[name] = {"skipped": "time_budget"}
