@@ -271,10 +271,11 @@ def bench_cw_ssg(gather=None, chain=None):
 
 
 def bench_cw_curvenet():
-    """CW on CurveNet (the compile- and gather-heaviest victim; the
-    round-4 mean-pool gather fusion's target — initial LPFA + residual
-    CIC blocks).  B=8 matches the A/B config in
-    scripts/bench_fused_maxpool.py."""
+    """CW on CurveNet (the compile- and gather-heaviest victim).
+    Default = shipped policy (round-4: fully UNFUSED — careful 3-arm
+    A/B measured XLA 3.52 clouds/s over chain 2.74 and chain+gather
+    3.35; BENCH.md cw_curvenet reconciliation).  B=8 matches the A/B
+    config in scripts/bench_fused_maxpool.py."""
     return _bench_cw_victim("CurveNet", seed=9, b=8)
 
 

@@ -263,9 +263,13 @@ class TestFusedPolicy:
             fused_chain_on("dgcnn", f32),      # measured regression
             fused_gather_on("ssg", f32),
             fused_gather_on("dgcnn", f32),
+            # careful 3-arm A/B: XLA 3.52 clouds/s beats chain 2.74
+            # and chain+gather 3.35 (BENCH.md cw_curvenet bullet)
+            fused_chain_on("curvenet", f32),
+            fused_gather_on("curvenet", f32),
         )
         assert self._with(None, None, checks) == (
-            True, False, False, True, False
+            True, False, False, True, False, False, False
         )
 
     def test_force_flags_override_policy(self):
