@@ -124,17 +124,23 @@ def _flops_unfused(fn, *args):
     the fused-kernel flags off and lowering the SAME trace for CPU
     yields a program where every matmul is an explicit XLA HLO — the
     semantic FLOP count of the computation, independent of which
-    backend or kernel path actually ran (every Pallas dispatch gate
-    sits behind ops.backend.use_mosaic_kernels(), False on CPU).
+    backend or kernel path actually ran.  The chain/gather tiers gate
+    on the FUSED_MAXPOOL flags; the kNN/FPS/chamfer kernels gate on
+    ops.backend.use_mosaic_kernels(), which consults the PROCESS
+    backend (still TPU here) — force_xla_paths() turns those off for
+    the duration of the trace (without it every kNN-bearing family —
+    geoa3, knn, dgcnn, ssg, curvenet — nulled out with "Only interpret
+    mode is supported on CPU backend").
     """
     from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+    from pointcloudattack_tpu.ops.backend import force_xla_paths
 
     prior = dict(FUSED_MAXPOOL)
     FUSED_MAXPOOL["enabled"] = False
     FUSED_MAXPOOL["gather"] = False
     try:
         cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
+        with jax.default_device(cpu), force_xla_paths():
             ca = (
                 jax.jit(lambda *a: fn(*a))
                 .lower(*args)

@@ -60,19 +60,42 @@ def transfer_matrix(
     adv: jax.Array,
     target: jax.Array,
     targeted: bool = False,
+    devices=None,
 ) -> dict[str, float]:
     """Transfer ASR of adversarial clouds against a panel of victims.
 
     Returns {model_name: transfer success rate} — the batched equivalent
     of the per-sample fail counters the reference accumulates
     (pt_fail/ptm_fail/... in GeoA3_attack.py:208-212).
+
+    devices: optional device list — panel member k runs on
+    ``devices[k % len(devices)]`` (inputs are committed there once per
+    device; each member's jitted forward follows its committed inputs),
+    so a K-model panel evaluates CONCURRENTLY across K chips instead of
+    serially on one.  The panel is heterogeneous (different
+    architectures = different programs), so this is per-model placement
+    — the mesh axis SPMD cannot express — and Pallas kernels stay
+    enabled because every program remains single-device (the Mosaic
+    GSPMD constraint never triggers).  With or without ``devices``, all
+    host fetches are deferred until every member is enqueued: one sync
+    at the end, not K serial ~25 ms tunnel round-trips.
     """
-    out = {}
-    for name, fn in model_fns.items():
-        pred = jnp.argmax(fn(adv), axis=-1)
-        ok = pred == target if targeted else pred != target
-        out[name] = float(np.asarray(ok).mean())
-    return out
+    oks: dict[str, jax.Array] = {}
+    placed: dict = {}
+    for k, (name, fn) in enumerate(model_fns.items()):
+        if devices:
+            d = devices[k % len(devices)]
+            if d not in placed:
+                placed[d] = (
+                    jax.device_put(adv, d),
+                    jax.device_put(target, d),
+                )
+            x, t = placed[d]
+        else:
+            x, t = adv, target
+        pred = jnp.argmax(fn(x), axis=-1)
+        oks[name] = pred == t if targeted else pred != t
+    return {name: float(np.asarray(ok).mean()) for name, ok in oks.items()}
 
 
 def shuffle_robustness(

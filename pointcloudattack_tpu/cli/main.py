@@ -1118,8 +1118,13 @@ def cmd_attack(args):
                 panel[key_name] = _normalize_output(
                     make_model_fn(t_model, t_vars), t_name
                 )
+            # spread the heterogeneous panel over the mesh: member k on
+            # device k%n, evaluated concurrently (evaluation.py
+            # transfer_matrix devices=)
+            devs = jax.devices()
             mat = transfer_matrix(
                 panel, adv_j, jnp.asarray(labels), targeted=targeted,
+                devices=devs if len(devs) > 1 else None,
             )
             summary["transfer_asr"] = mat
             print(f"transfer ASR: {mat}")

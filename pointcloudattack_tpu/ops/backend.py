@@ -7,6 +7,7 @@ import contextlib
 import jax
 
 _MANUAL_DEPTH = 0  # >0 while tracing inside a shard_map manual region
+_FORCE_XLA_DEPTH = 0  # >0 while every Pallas dispatch gate is forced off
 
 
 def is_tpu_backend() -> bool:
@@ -41,6 +42,25 @@ def manual_sharding_scope():
         _MANUAL_DEPTH -= 1
 
 
+@contextlib.contextmanager
+def force_xla_paths():
+    """Trace with every Pallas gate off while keeping the TPU-shaped
+    XLA paths (``is_tpu_backend`` untouched).
+
+    For lowering a TPU-process trace onto the CPU backend — Pallas
+    Mosaic calls have no CPU lowering ("Only interpret mode is
+    supported"), which silently nulled the bench's FLOP accounting for
+    every kNN/FPS/chamfer-kernel family (bench.py::_flops_unfused) and
+    breaks CPU-mesh dry runs started from a TPU process.
+    """
+    global _FORCE_XLA_DEPTH
+    _FORCE_XLA_DEPTH += 1
+    try:
+        yield
+    finally:
+        _FORCE_XLA_DEPTH -= 1
+
+
 def use_mosaic_kernels() -> bool:
     """Pallas dispatch gate: TPU backend AND partition-safe context.
 
@@ -49,6 +69,8 @@ def use_mosaic_kernels() -> bool:
     single-device jits in a multi-device process conservatively fall
     back to the XLA paths.
     """
+    if _FORCE_XLA_DEPTH > 0:
+        return False
     if not is_tpu_backend():
         return False
     try:

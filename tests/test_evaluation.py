@@ -36,6 +36,33 @@ def test_transfer_matrix(trained_pointnet):
     assert mat["self"] == 0.0
 
 
+def test_transfer_matrix_device_placement(trained_pointnet):
+    """devices= spreads panel members round-robin over the mesh with
+    results identical to the sequential default (per-model placement is
+    throughput-only — each member is the same single-device program)."""
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    # 3 members over 8 CPU devices: self twice (distinct keys) + a
+    # randomly initialized second architecture
+    from pointcloudattack_tpu import models as M
+
+    other = M.make_model("PointNet", 3)
+    ovars = M.init_model(
+        other, jax.random.PRNGKey(7),
+        num_points=clouds.shape[1], batch=2,
+    )
+    panel = {
+        "self": model_fn,
+        "self#2": model_fn,
+        "rand": make_model_fn(other, ovars),
+    }
+    x, t = jnp.asarray(clouds[:6]), jnp.asarray(labels[:6])
+    seq = transfer_matrix(panel, x, t)
+    par = transfer_matrix(panel, x, t, devices=jax.devices())
+    assert seq == par
+    assert par["self"] == 0.0 and par["self#2"] == 0.0
+
+
 def test_shuffle_robustness(trained_pointnet):
     model, variables, clouds, labels = trained_pointnet
     model_fn = make_model_fn(model, variables)
