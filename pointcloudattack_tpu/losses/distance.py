@@ -75,18 +75,29 @@ def chamfer_hausdorff_nn(adv: jax.Array, ori: jax.Array):
     matrix); unused outputs are DCE'd under jit, so callers take the
     bundle unconditionally.
     """
-    # the bundle amortizes ONE dense matrix across three outputs, so the
-    # dense path stays ahead longer than single-output _min_rows (two
-    # kernel launches lose to it at 1024^2: 0.45 vs 0.35 ms fwd+bwd,
-    # B=8 v5e); only at clearly HBM-bound sizes do the kernels win
-    if adv.shape[-2] * ori.shape[-2] >= _BUNDLE_KERNEL_THRESHOLD:
-        from pointcloudattack_tpu.ops.pallas.chamfer_kernel import (
-            min_sqdist_rows,
-        )
+    from pointcloudattack_tpu.ops.pallas.chamfer_kernel import (
+        min_sqdist_both,
+        min_sqdist_rows,
+        use_both_kernel,
+    )
 
+    if use_both_kernel(adv.shape[-2], ori.shape[-2]) and adv.ndim == 3:
+        # the fused two-direction kernel: one VMEM-resident distance
+        # pass forward, mask-matmul gathers/scatters backward — the
+        # [B, N, M] matrix never reaches HBM in either direction
+        # (measured vs the dense path in BENCH.md round-4; GeoA3's
+        # per-iteration bundle)
+        row_min, col_min, nn_idx = min_sqdist_both(adv, ori)
+    elif adv.shape[-2] * ori.shape[-2] >= _BUNDLE_KERNEL_THRESHOLD:
+        # huge clouds: the O(N+M)-HBM streaming row-min kernel per
+        # direction
         row_min, nn_idx = min_sqdist_rows(adv, ori)
         col_min, _ = min_sqdist_rows(ori, adv)
     else:
+        # the dense bundle amortizes ONE materialized matrix across
+        # three outputs — ahead of two single-direction kernel launches
+        # at 1024^2 (0.35 vs 0.45 ms fwd+bwd, B=8 v5e) but behind the
+        # fused two-direction kernel above
         d = pairwise_sqdist(adv, ori)  # [B, N, M]
         row_min = jnp.min(d, axis=-1)
         col_min = jnp.min(d, axis=-2)

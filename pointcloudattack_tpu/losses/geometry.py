@@ -67,6 +67,13 @@ def kappa_ori(pc: jax.Array, normal: jax.Array, k: int = 2) -> jax.Array:
     Reference attack/GeoA3/loss_utils.py:60-70 (kNN over self, excluding
     self, normalized offsets projected on the normal).
     """
+    from pointcloudattack_tpu.ops.pallas.kappa_kernel import (
+        kappa_knn_mean,
+        use_kappa_kernel,
+    )
+
+    if use_kappa_kernel(pc.shape[1], k):
+        return kappa_knn_mean(pc, normal, k)
     idx = self_knn_idx(pc, k)
     vec = _neighbour_offsets(pc, pc, idx)  # [B, N, k, 3]
     vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
@@ -102,6 +109,18 @@ def kappa_adv(
     if nn_idx is None:
         nn_idx = nn1_idx(adv, ori)
     normal = index_points(ori_normal, nn_idx)  # [B, N, 3]
+    if self_idx is None:
+        from pointcloudattack_tpu.ops.pallas.kappa_kernel import (
+            kappa_knn_mean,
+            use_kappa_kernel,
+        )
+
+        # the fused TPU path: self-kNN + gather + normalize + project
+        # in one Pallas program, nothing [N, N]- or [B, N, K, 3]-shaped
+        # in HBM either direction (ops/pallas/kappa_kernel.py; the hot
+        # GeoA3 per-iteration call, BENCH.md anatomy)
+        if use_kappa_kernel(adv.shape[1], k):
+            return kappa_knn_mean(adv, normal, k), normal
     idx = self_knn_idx(adv, k) if self_idx is None else self_idx
     vec = _neighbour_offsets(adv, adv, idx)
     vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)

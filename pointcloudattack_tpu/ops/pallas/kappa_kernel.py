@@ -1,0 +1,341 @@
+"""Pallas TPU kernel: fused self-kNN + curvature proxy (GeoA3 kappa).
+
+The GeoA3 curvature term (reference attack/GeoA3/loss_utils.py:72-90)
+recomputes, EVERY attack iteration, the adversarial cloud's self-kNN,
+gathers the k neighbour coordinates, normalizes the offsets and projects
+them on a per-point normal:
+
+    kappa_i = mean_k | unit(a_{j_ik} - a_i) . n_i |
+
+Composed from XLA ops this costs three separate passes over [N, N]-sized
+work per iteration (kNN top-k, a [B, N, K, 3] gather whose backward is a
+one-hot einsum, and the normalize/project chain) — measured 1.28 ms of
+GeoA3's 1.94 ms iteration at B=8, N=1024 on v5e (BENCH.md anatomy).
+
+This kernel computes kappa in ONE fused pass per row-block with nothing
+[N, N]-shaped ever touching HBM, using two reformulations:
+
+* bilinear projection: (a_j - a_i) . n_i = P_ij - P_ii with
+  P = n @ a^T off the MXU, and |a_j - a_i| = sqrt(d_ij) from the same
+  exact 3-coordinate VPU distance used by the Chamfer kernel — so the
+  neighbour COORDINATES are never gathered at all;
+* threshold reconstruction: after the k+1 argmin picks the selected set
+  is exactly the (k+1) lexicographically smallest (d, col) pairs, so the
+  backward rebuilds the selection mask from FOUR per-row scalars (the
+  first pick (m0, i0) = the reference's excluded self column,
+  loss_utils.py:83's knn(k+1)[1:], and the last pick (T, iK)) instead of
+  per-pick one-hot masks; the neighbour-side scatter then rides two thin
+  [3, R] x [R, N] MXU matmuls.
+
+Numerics vs the XLA composition: the projection numerator is evaluated
+as n.a_j - n.a_i (catastrophic-cancellation-free to ~1e-7 absolute),
+not as n.(a_j - a_i); distances are exact f32. Relative deviation on
+unit-scale clouds is ~1e-5 (tests/test_pallas_kappa.py pins it), far
+inside the attack's f32 deviation budget (scripts/tpu_parity_fused.py
+screens grad cosine at 0.995). For an EXACT-duplicate neighbour the XLA
+path emits NaN gradients (0/0 in the normalize); this kernel emits the
+limit value 0 for both the forward contribution and the gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-enabled installs
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    _HAVE_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAVE_PLTPU = False
+
+_EPS = 1e-12
+
+
+def _exact_sqdist(xr, xat, n):
+    """[R, 3] rows vs [3, N] all -> exact f32 [R, N] (chamfer_kernel.py:51
+    pattern: per-coordinate VPU broadcast, no expansion cancellation)."""
+    d = jnp.zeros((xr.shape[0], n), dtype=jnp.float32)
+    for c in range(3):
+        diff = xr[:, c : c + 1] - xat[c : c + 1, :]
+        d = d + diff * diff
+    return d
+
+
+def _proj(nr, xat, n):
+    """P_ij = n_i . a_j as a [R, N] VPU broadcast (exact f32 products)."""
+    p = jnp.zeros((nr.shape[0], n), dtype=jnp.float32)
+    for c in range(3):
+        p = p + nr[:, c : c + 1] * xat[c : c + 1, :]
+    return p
+
+
+def _kappa_fwd_kernel(
+    k, n, rows_ref, nrm_ref, allt_ref,
+    kap_ref, m0_ref, i0_ref, tk_ref, ik_ref,
+):
+    xr = rows_ref[0]  # [R, 3]
+    nr = nrm_ref[0]  # [R, 3]
+    xat = allt_ref[0]  # [3, N]
+    r = xr.shape[0]
+
+    d0 = _exact_sqdist(xr, xat, n)
+    p = _proj(nr, xat, n)
+    mii = jnp.sum(nr * xr, axis=-1, keepdims=True)  # [R, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+
+    # k+1 min picks (first = the self column the reference drops,
+    # loss_utils.py:83 via ops.knn semantics); first-index tie break =
+    # lax.top_k's stable order.  Same min/where formulation as
+    # knn_kernel.py — measured 2x faster than jnp.argmin on v5e.
+    d = d0
+    i0 = None
+    it = None
+    for t in range(k + 1):
+        m = jnp.min(d, axis=1, keepdims=True)  # [R, 1]
+        it = jnp.min(jnp.where(d == m, col, n), axis=1, keepdims=True)
+        if t == 0:
+            i0 = it
+        d = jnp.where(col == it, jnp.inf, d)
+
+    # picked set = entries masked to inf; drop the self pick
+    sel = jnp.isinf(d) & (col != i0)
+    rn = jnp.sqrt(jnp.maximum(d0, 0.0))
+    rr = rn + _EPS
+    num = p - mii
+    contrib = jnp.where(sel & (d0 > 0), jnp.abs(num) / rr, 0.0)
+    kap_ref[0] = jnp.sum(contrib, axis=1, keepdims=True) / k  # [R, 1]
+
+    # lexicographic boundary residuals for the backward's mask rebuild:
+    # d0 value at the first and last picks
+    m0_ref[0] = jnp.sum(jnp.where(col == i0, d0, 0.0), axis=1, keepdims=True)
+    i0_ref[0] = i0
+    tk_ref[0] = jnp.sum(jnp.where(col == it, d0, 0.0), axis=1, keepdims=True)
+    ik_ref[0] = it
+
+
+def _kappa_bwd_kernel(
+    k, n, rows_ref, nrm_ref, allt_ref, nrmt_ref, rowst_ref,
+    dk_ref, m0_ref, i0_ref, tk_ref, ik_ref,
+    nbr_ref, ctr_ref, dnrm_ref,
+):
+    j = pl.program_id(1)
+    xr = rows_ref[0]  # [R, 3]
+    nr = nrm_ref[0]  # [R, 3]
+    xat = allt_ref[0]  # [3, N]
+    nrt = nrmt_ref[0]  # [3, R] (this row block, pre-transposed)
+    xrt = rowst_ref[0]  # [3, R]
+    r = xr.shape[0]
+
+    d0 = _exact_sqdist(xr, xat, n)
+    p = _proj(nr, xat, n)
+    mii = jnp.sum(nr * xr, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+
+    m0 = m0_ref[0]  # [R, 1]
+    i0 = i0_ref[0]
+    tk = tk_ref[0]
+    ik = ik_ref[0]
+    # picked set = ((d, col) <=lex (T, iK)) minus ((d, col) <=lex (m0, i0))
+    le_hi = (d0 < tk) | ((d0 == tk) & (col <= ik))
+    le_lo = (d0 < m0) | ((d0 == m0) & (col <= i0))
+    sel = le_hi & jnp.logical_not(le_lo)
+
+    rn = jnp.sqrt(jnp.maximum(d0, 0.0))
+    rr = rn + _EPS
+    num = p - mii
+    s = jnp.sign(num)
+    w = dk_ref[0] / k  # [R, 1]
+    guard = sel & (d0 > 0)
+    # d|u.n|/dv = s*(n/rr - (p/rr)(v/rn)) with v = a_j - a_i, rr=|v|+eps:
+    # alpha scales n_i, beta scales v
+    ws = w * s
+    alpha = jnp.where(guard, ws / rr, 0.0)  # [R, N]
+    beta = jnp.where(guard, -(ws * num) / (rr * rr * rn), 0.0)
+
+    # neighbour-side scatter, [3, N]: dadv[j] += alpha_ij n_i + beta_ij a_j
+    #   - beta_ij a_i, summed over i by thin MXU matmuls (contraction R,
+    # output lanes N — no 3->128 pad on the hot dim)
+    hi = jax.lax.Precision.HIGHEST
+    n_side = jax.lax.dot_general(
+        nrt, alpha, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi,
+    )  # [3, N]
+    x_side = jax.lax.dot_general(
+        xrt, beta, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi,
+    )
+    colb = jnp.sum(beta, axis=0, keepdims=True)  # [1, N]
+    nbr = n_side + colb * xat - x_side  # [3, N]
+
+    @pl.when(j == 0)
+    def _():
+        nbr_ref[...] = jnp.zeros_like(nbr_ref)
+
+    nbr_ref[0] += nbr
+
+    # centre side, [R, 3]: dadv[i] -= rowsum(alpha) n_i + (beta @ a)_i
+    #   - rowsum(beta) a_i   (row reductions — VPU broadcasts beat a
+    # 3-lane-padded MXU matmul here)
+    rowa = jnp.sum(alpha, axis=1, keepdims=True)  # [R, 1]
+    rowb = jnp.sum(beta, axis=1, keepdims=True)
+    bxa = [
+        jnp.sum(beta * xat[c : c + 1, :], axis=1, keepdims=True)
+        for c in range(3)
+    ]  # 3 x [R, 1]
+    axa = [
+        jnp.sum(alpha * xat[c : c + 1, :], axis=1, keepdims=True)
+        for c in range(3)
+    ]
+    ctr_ref[0] = rowa * nr + jnp.concatenate(bxa, axis=1) - rowb * xr
+    # dnormal_i = sum_j alpha_ij (a_j - a_i)  (alpha = w s / rr = w s u / v
+    # ... i.e. w*s*unit offsets)
+    dnrm_ref[0] = jnp.concatenate(axa, axis=1) - rowa * xr
+
+
+def _row_block(n: int) -> int:
+    if n <= 1024:
+        return 256 if n % 256 == 0 else 0
+    if n <= 2048:
+        return 128 if n % 128 == 0 else 0
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _kappa_fwd(adv, normal, k: int, interpret: bool = False):
+    b, n, _ = adv.shape
+    r = _row_block(n)
+    adv = adv.astype(jnp.float32)
+    normal = normal.astype(jnp.float32)
+    advt = jnp.swapaxes(adv, 1, 2)  # [B, 3, N]
+    grid = (b, n // r)
+    outs = pl.pallas_call(
+        functools.partial(_kappa_fwd_kernel, k, n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),  # kappa
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),  # m0
+            jax.ShapeDtypeStruct((b, n, 1), jnp.int32),  # i0
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),  # T
+            jax.ShapeDtypeStruct((b, n, 1), jnp.int32),  # iK
+        ],
+        interpret=interpret,
+    )(adv, normal, advt)
+    kap, m0, i0, tk, ik = outs
+    return kap[..., 0], m0, i0, tk, ik
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _kappa_bwd(adv, normal, m0, i0, tk, ik, dkap, k: int, interpret: bool):
+    b, n, _ = adv.shape
+    r = _row_block(n)
+    adv = adv.astype(jnp.float32)
+    normal = normal.astype(jnp.float32)
+    advt = jnp.swapaxes(adv, 1, 2)
+    nrmt = jnp.swapaxes(normal, 1, 2)
+    grid = (b, n // r)
+    nbr, ctr, dnrm = pl.pallas_call(
+        functools.partial(_kappa_bwd_kernel, k, n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),  # rows
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),  # normals
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0)),  # advT full
+            pl.BlockSpec((1, 3, r), lambda i, j: (i, 0, j)),  # normalT blk
+            pl.BlockSpec((1, 3, r), lambda i, j: (i, 0, j)),  # advT blk
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),  # dkappa
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),  # m0
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),  # i0
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),  # T
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),  # iK
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0)),  # nbr (acc)
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),  # centre
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),  # dnormal
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 3, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adv, normal, advt, nrmt, advt, dkap, m0, i0, tk, ik)
+    dadv = jnp.swapaxes(nbr, 1, 2) - ctr
+    return dadv, dnrm
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def kappa_knn_mean(adv, normal, k: int, interpret: bool = False):
+    """Fused kappa_i = mean_k |unit(a_nbr - a_i) . n_i| over the k
+    nearest neighbours of each point (self excluded), [B, N].
+
+    Drop-in for the losses.geometry.kappa_adv/kappa_ori inner
+    computation (reference loss_utils.py:60-90) when
+    :func:`use_kappa_kernel` admits the shape. ``normal`` receives its
+    true cotangent (zero-flow in GeoA3, where normals come from
+    stop-gradient lookups, but correct for generic callers).
+    """
+    kap, *_ = _kappa_fwd(adv, normal, k, interpret)
+    return kap
+
+
+def _kappa_fwd_rule(adv, normal, k, interpret):
+    kap, m0, i0, tk, ik = _kappa_fwd(adv, normal, k, interpret)
+    return kap, (adv, normal, m0, i0, tk, ik)
+
+
+def _kappa_bwd_rule(k, interpret, res, dkap):
+    adv, normal, m0, i0, tk, ik = res
+    dadv, dnrm = _kappa_bwd(
+        adv, normal, m0, i0, tk, ik, dkap[..., None], k, interpret
+    )
+    return dadv.astype(adv.dtype), dnrm.astype(normal.dtype)
+
+
+kappa_knn_mean.defvjp(_kappa_fwd_rule, _kappa_bwd_rule)
+
+
+def reference_kappa_xla(adv, normal, k: int):
+    """Exact-distance XLA twin of the kernel (same math, jnp ops): the
+    interpret-mode parity oracle for tests."""
+    diff = adv[:, :, None, :] - adv[:, None, :, :]  # [B, N, N, 3]
+    d = jnp.sum(diff * diff, axis=-1)
+    _, idx = jax.lax.top_k(-d, k + 1)  # [B, N, k+1], stable ties
+    idx = idx[..., 1:]
+    from pointcloudattack_tpu.ops.gather import index_points
+
+    vec = index_points(adv, idx) - adv[:, :, None, :]
+    vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + _EPS)
+    return jnp.mean(
+        jnp.abs(jnp.sum(vec * normal[:, :, None, :], axis=-1)), axis=-1
+    )
+
+
+def use_kappa_kernel(n: int, k: int) -> bool:
+    """Kernel admission: TPU Mosaic context + supported geometry."""
+    import os
+
+    from pointcloudattack_tpu.ops.backend import use_mosaic_kernels
+
+    flag = os.environ.get("PCA_FUSED_KAPPA", "")
+    if flag == "0":
+        return False
+    if not _HAVE_PLTPU or _row_block(n) == 0 or k < 1 or k + 1 >= n:
+        return False
+    return use_mosaic_kernels()

@@ -63,7 +63,12 @@ def _knn_kernel(k: int, n: int, rows_ref, all_ref, out_ref):
     picks = []
     for _ in range(k):
         m = jnp.min(d, axis=1, keepdims=True)  # [R, 1]
-        # first index attaining the minimum (lax.top_k's stable tie order)
+        # first index attaining the minimum (lax.top_k's stable tie
+        # order).  This min + where(d==m) + mask-update cycle is the
+        # measured-fastest formulation: same-process v5e A/B found
+        # jnp.argmin's variadic reduce 2x slower, and a candidate-mask
+        # variant that avoided the d rewrite 1.5x slower (the loop is
+        # VPU-op-bound, not VMEM-bound) — BENCH.md round-4 ledger.
         idx_t = jnp.min(jnp.where(d == m, col, n), axis=1)  # [R]
         picks.append(idx_t)
         d = jnp.where(col == idx_t[:, None], jnp.inf, d)

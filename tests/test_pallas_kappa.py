@@ -1,0 +1,135 @@
+"""Fused kappa (self-kNN curvature proxy) kernel vs the XLA path.
+
+Oracles:
+  * ``reference_kappa_xla`` — the kernel's exact-distance twin in jnp
+    ops (same selection semantics, autodiff backward);
+  * ``losses.geometry.kappa_adv`` — the shipped XLA composition
+    (expansion-form distances; reference loss_utils.py:72-90 twin).
+
+The kernel runs in interpret mode on CPU (tests/conftest.py pins the
+platform); dispatch gating is covered at the bottom.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloudattack_tpu.geometry.normals import estimate_normal
+from pointcloudattack_tpu.losses import geometry as G
+from pointcloudattack_tpu.ops.pallas.kappa_kernel import (
+    _kappa_bwd,
+    _kappa_fwd,
+    kappa_knn_mean,
+    reference_kappa_xla,
+    use_kappa_kernel,
+)
+
+
+def _cloud(b=2, n=256, seed=0):
+    pts = jax.random.normal(jax.random.PRNGKey(seed), (b, n, 3))
+    pts = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    nrm = estimate_normal(pts, k=3)
+    return pts, nrm
+
+
+@pytest.mark.parametrize("k", [4, 16])
+def test_fwd_matches_exact_twin(k):
+    pts, nrm = _cloud()
+    kap, *_ = _kappa_fwd(pts, nrm, k, interpret=True)
+    ref = reference_kappa_xla(pts, nrm, k)
+    # the kernel's bilinear numerator n.a_j - n.a_i rounds differently
+    # from the twin's n.(a_j - a_i): measured max ~5e-4 relative on a
+    # couple of near-tangent pairs per 512 points (module docstring)
+    np.testing.assert_allclose(
+        np.asarray(kap), np.asarray(ref), rtol=2e-3, atol=1e-5
+    )
+
+
+def test_fwd_matches_shipped_kappa_adv():
+    """vs the expansion-distance XLA path actually shipped in
+    losses.geometry (selection may differ only at f32 near-ties)."""
+    pts, nrm = _cloud(seed=3)
+    k = 16
+    kap, *_ = _kappa_fwd(pts, nrm, k, interpret=True)
+    idx = G.self_knn_idx(pts, k)
+    vec = G._neighbour_offsets(pts, pts, idx)
+    vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
+    ref = jnp.mean(
+        jnp.abs(jnp.sum(vec * nrm[:, :, None, :], axis=-1)), axis=-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(kap), np.asarray(ref), rtol=1e-3, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("k", [4, 16])
+def test_bwd_matches_autodiff_of_twin(k):
+    pts, nrm = _cloud(b=2, n=256, seed=1)
+    wkey = jax.random.PRNGKey(9)
+    w = jax.random.normal(wkey, pts.shape[:2])
+
+    def loss_kernel(a, m):
+        return jnp.sum(kappa_knn_mean(a, m, k, True) * w)
+
+    def loss_twin(a, m):
+        return jnp.sum(reference_kappa_xla(a, m, k) * w)
+
+    ga, gn = jax.grad(loss_kernel, argnums=(0, 1))(pts, nrm)
+    ra, rn = jax.grad(loss_twin, argnums=(0, 1))(pts, nrm)
+    for got, ref in ((ga, ra), (gn, rn)):
+        got, ref = np.asarray(got).ravel(), np.asarray(ref).ravel()
+        cos = np.dot(got, ref) / (
+            np.linalg.norm(got) * np.linalg.norm(ref) + 1e-30
+        )
+        assert cos > 1.0 - 1e-6, cos
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=1e-5)
+
+
+def test_bwd_shapes_and_finite_on_duplicates():
+    """An exact-duplicate neighbour: XLA emits NaN (0/0 normalize); the
+    kernel takes the limit 0 for both value and gradient."""
+    pts, nrm = _cloud(b=1, n=256, seed=2)
+    pts = pts.at[0, 7].set(pts[0, 3])  # duplicate point
+    k = 4
+    kap, *_ = _kappa_fwd(pts, nrm, k, interpret=True)
+    assert np.all(np.isfinite(np.asarray(kap)))
+
+    g = jax.grad(
+        lambda a: jnp.sum(kappa_knn_mean(a, nrm, k, True))
+    )(pts)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_residual_mask_rebuild_consistency():
+    """The backward's lexicographic mask rebuild selects exactly the
+    forward's picked neighbour set: zero-cotangent rows must produce
+    exactly zero gradient, and single-row cotangents only touch the
+    row's neighbourhood."""
+    pts, nrm = _cloud(b=1, n=256, seed=4)
+    k = 8
+    kap, m0, i0, tk, ik = _kappa_fwd(pts, nrm, k, interpret=True)
+    dk = jnp.zeros_like(kap)[..., None]
+    dadv, dnrm = _kappa_bwd(
+        pts, nrm, m0, i0, tk, ik, dk, k, True
+    )
+    assert float(jnp.abs(dadv).max()) == 0.0
+    assert float(jnp.abs(dnrm).max()) == 0.0
+
+    dk = dk.at[0, 5, 0].set(1.0)
+    dadv, dnrm = _kappa_bwd(pts, nrm, m0, i0, tk, ik, dk, k, True)
+    touched = np.nonzero(np.abs(np.asarray(dadv[0])).sum(-1))[0]
+    # exactly row 5 + its k neighbours
+    assert 5 in touched and len(touched) <= k + 1
+    touched_n = np.nonzero(np.abs(np.asarray(dnrm[0])).sum(-1))[0]
+    assert list(touched_n) == [5]
+
+
+def test_gate_respects_backend_and_env(monkeypatch):
+    # CPU backend: Mosaic gate is off
+    assert not use_kappa_kernel(1024, 16)
+    monkeypatch.setenv("PCA_FUSED_KAPPA", "0")
+    assert not use_kappa_kernel(1024, 16)
+    # unsupported geometry is rejected regardless
+    assert not use_kappa_kernel(1000, 16)
+    assert not use_kappa_kernel(256, 300)

@@ -185,3 +185,87 @@ class TestKnnKernel:
         g = jax.grad(f)(x)
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestMinSqdistBoth:
+    """Fused two-direction bundle kernel (GeoA3 per-iter Chamfer+HD+nn)."""
+
+    def _clouds(self, b=2, n=256, m=128):
+        x = jnp.asarray(RNG.randn(b, n, 3).astype(np.float32))
+        y = jnp.asarray(RNG.randn(b, m, 3).astype(np.float32))
+        return x, y
+
+    def test_interpret_fwd_matches_dense(self, monkeypatch):
+        monkeypatch.setattr(CK, "_BOTH_INTERPRET", True)
+        x, y = self._clouds()
+        rmin, cmin, rarg = CK.min_sqdist_both(x, y)
+        d = np.sum(
+            (np.asarray(x)[:, :, None] - np.asarray(y)[:, None]) ** 2, -1
+        )
+        np.testing.assert_allclose(np.asarray(rmin), d.min(-1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cmin), d.min(-2), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(rarg), d.argmin(-1))
+
+    def test_interpret_bwd_matches_dense_autodiff(self, monkeypatch):
+        x, y = self._clouds(b=1, n=128, m=256)
+
+        def loss(fn):
+            def f(a, o):
+                rmin, cmin, _ = fn(a, o)
+                return (
+                    jnp.sum(jnp.mean(rmin, -1) + 0.5 * jnp.mean(cmin, -1))
+                    + jnp.sum(jnp.max(rmin, -1))
+                )
+
+            return f
+
+        def dense(a, o):
+            from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
+
+            d = pairwise_sqdist(a, o)
+            return (
+                jnp.min(d, -1),
+                jnp.min(d, -2),
+                jnp.argmin(d, -1),
+            )
+
+        ga_d, go_d = jax.grad(loss(dense), argnums=(0, 1))(x, y)
+        monkeypatch.setattr(CK, "_BOTH_INTERPRET", True)
+        ga_k, go_k = jax.grad(loss(CK.min_sqdist_both), argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(
+            np.asarray(ga_k), np.asarray(ga_d), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(go_k), np.asarray(go_d), rtol=1e-4, atol=1e-6
+        )
+
+    def test_xla_fallback_custom_vjp_matches_dense_autodiff(self):
+        """The non-kernel branch of min_sqdist_both's VJP (gather +
+        scatter form) against autodiff of the dense matrix."""
+        x, y = self._clouds(b=2, n=60, m=40)
+
+        def via_bundle(a, o):
+            rmin, cmin, _ = CK.min_sqdist_both(a, o)
+            return jnp.sum(jnp.mean(rmin, -1) + jnp.mean(cmin, -1))
+
+        def via_dense(a, o):
+            from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
+
+            d = pairwise_sqdist(a, o)
+            return jnp.sum(jnp.mean(jnp.min(d, -1), -1)
+                           + jnp.mean(jnp.min(d, -2), -1))
+
+        ga_b, go_b = jax.grad(via_bundle, argnums=(0, 1))(x, y)
+        ga_d, go_d = jax.grad(via_dense, argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(
+            np.asarray(ga_b), np.asarray(ga_d), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(go_b), np.asarray(go_d), rtol=1e-4, atol=1e-6
+        )
+
+    def test_gate(self):
+        # CPU: Mosaic gate off regardless of shape
+        assert not CK.use_both_kernel(1024, 1024)
+        assert not CK.use_both_kernel(1000, 1024)  # non-128-multiple
+        assert not CK.use_both_kernel(2048, 1024)  # over VMEM budget
