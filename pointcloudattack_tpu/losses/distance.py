@@ -54,6 +54,16 @@ def chamfer_both(adv: jax.Array, ori: jax.Array):
 
     Reference attack/CW/CW_utils/distance.py:35-50.
     """
+    from pointcloudattack_tpu.ops.pallas.chamfer_kernel import (
+        min_sqdist_both,
+        use_both_kernel,
+    )
+
+    if use_both_kernel(adv.shape[-2], ori.shape[-2]) and adv.ndim == 3:
+        # one fused distance pass serves both directions (the KNN
+        # attack's per-iteration Chamfer, reference KNN/kNN-attack loss)
+        row_min, col_min, _ = min_sqdist_both(adv, ori)
+        return jnp.mean(row_min, axis=-1), jnp.mean(col_min, axis=-1)
     return (
         jnp.mean(_min_rows(adv, ori), axis=-1),
         jnp.mean(_min_rows(ori, adv), axis=-1),
