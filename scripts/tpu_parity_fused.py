@@ -251,9 +251,90 @@ def main():
     ok = ok and r["pass"]
     print(f"# kappa_geoa3: {r}", file=sys.stderr, flush=True)
 
+    # screen the fused two-direction chamfer bundle kernel
+    try:
+        r = run_chamfer_both(interpret=args.interpret)
+    except Exception as e:
+        r = {"error": f"{type(e).__name__}: {e}"[:200], "pass": False}
+    out["chamfer_both"] = r
+    ok = ok and r["pass"]
+    print(f"# chamfer_both: {r}", file=sys.stderr, flush=True)
+
     out["all_pass"] = ok
     print(json.dumps(out))
     return 0 if ok else 1
+
+
+def run_chamfer_both(interpret: bool = False) -> dict:
+    """Fused min_sqdist_both vs the dense XLA bundle on this backend
+    (forward values + both input gradients; GeoA3/KNN per-iter path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
+    from pointcloudattack_tpu.ops.pallas import chamfer_kernel as CK
+
+    b, n, m = 8, 1024, 1024
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3), jnp.float32)
+    y = x + 0.05 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    engaged = bool(CK.use_both_kernel(n, m)) or interpret
+    if interpret:
+        CK._BOTH_INTERPRET = True
+
+    def fused(a, o):
+        rmin, cmin, nn = CK.min_sqdist_both(a, o)
+        loss = jnp.sum(
+            jnp.mean(rmin, -1) + jnp.mean(cmin, -1) + jnp.max(rmin, -1)
+        )
+        return loss, nn
+
+    def dense(a, o):
+        d = pairwise_sqdist(a, o)
+        rmin, cmin = jnp.min(d, -1), jnp.min(d, -2)
+        loss = jnp.sum(
+            jnp.mean(rmin, -1) + jnp.mean(cmin, -1) + jnp.max(rmin, -1)
+        )
+        return loss, jnp.argmin(d, -1).astype(jnp.int32)
+
+    (l1, (g1x, g1y)) = jax.jit(
+        lambda a, o: jax.value_and_grad(
+            lambda aa, oo: fused(aa, oo)[0], argnums=(0, 1)
+        )(a, o)
+    )(x, y)
+    (l0, (g0x, g0y)) = jax.jit(
+        lambda a, o: jax.value_and_grad(
+            lambda aa, oo: dense(aa, oo)[0], argnums=(0, 1)
+        )(a, o)
+    )(x, y)
+    nn_f = np.asarray(jax.jit(lambda a, o: fused(a, o)[1])(x, y))
+    nn_d = np.asarray(jax.jit(lambda a, o: dense(a, o)[1])(x, y))
+    l1, l0 = float(l1), float(l0)
+    g1 = np.concatenate([np.asarray(g1x).ravel(), np.asarray(g1y).ravel()])
+    g0 = np.concatenate([np.asarray(g0x).ravel(), np.asarray(g0y).ravel()])
+    loss_rel = abs(l1 - l0) / (abs(l0) + 1e-12)
+    denom = float(np.linalg.norm(g0) * np.linalg.norm(g1)) or 1.0
+    grad_cos = float(np.sum(g0 * g1) / denom)
+    idx_mismatch = float(np.mean(nn_f != nn_d))
+    if interpret:
+        CK._BOTH_INTERPRET = False
+    return {
+        "kernel_engaged": engaged,
+        "loss_rel_diff": loss_rel,
+        "grad_cos": round(grad_cos, 8),
+        "nn_idx_mismatch_frac": idx_mismatch,
+        "thresholds": {
+            "loss_rel_tol": 1e-4, "grad_cos_min": 0.999,
+            "nn_idx_mismatch_max": 1e-4,
+        },
+        "pass": bool(
+            np.isfinite(g1).all()
+            and engaged
+            and loss_rel < 1e-4
+            and grad_cos > 0.999
+            and idx_mismatch < 1e-4
+        ),
+    }
 
 
 def run_kappa(interpret: bool = False) -> dict:
