@@ -275,7 +275,9 @@ def run_chamfer_both(interpret: bool = False) -> dict:
     from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
     from pointcloudattack_tpu.ops.pallas import chamfer_kernel as CK
 
-    b, n, m = 8, 1024, 1024
+    # CPU --interpret validation shrinks the batch: the dense XLA arm
+    # materializes [B, N, M] fwd+bwd, minutes on CPU at B=8
+    b, n, m = (2 if interpret else 8), 1024, 1024
     x = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3), jnp.float32)
     y = x + 0.05 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
     engaged = bool(CK.use_both_kernel(n, m)) or interpret
