@@ -162,8 +162,11 @@ class LPFA(nn.Module):
             # — a single diff-segment layout with a row pre-activation,
             # so the [B, N, k, C] grouped tensor never touches HBM.
             # f32 sum-order deviation only (one 9-wide matmul becomes
-            # two 3-wide ones); screened on hardware by
-            # scripts/tpu_parity_fused.py's CurveNet row.
+            # two 3-wide ones), interpret-exact on CPU; on v5e the
+            # deviation compounds across the 9 fused blocks (grad_cos
+            # 0.941 measured — tpu_parity_fused.py CurveNet+gather,
+            # ADVISORY row).  Ships policy-OFF (XLA also measured
+            # faster); PCA_FUSED_GATHER=1 force-enables.
             from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
                 gather_chain_groupmean,
                 use_gather_chain_kernel,

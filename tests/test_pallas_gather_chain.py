@@ -201,8 +201,10 @@ def test_model_forward_bitexact_with_gather_fusion(model_key):
         # into the gather sources, splitting the reference's one 9-wide
         # matmul into two 3-wide ones (models/curvenet.py) — an f32
         # sum-order deviation, NOT a truncation: forward stays within
-        # ~1e-4 relative (hardware screen: scripts/tpu_parity_fused.py
-        # CurveNet row, grad_cos >= 0.995).
+        # ~1e-4 relative here in interpret mode.  On v5e hardware the
+        # deviation compounds across the 9 fused blocks (grad_cos 0.941
+        # measured) — the path ships policy-OFF and its hardware screen
+        # row (scripts/tpu_parity_fused.py CurveNet+gather) is advisory.
         np.testing.assert_allclose(y1, y0, rtol=0, atol=5e-4)
     else:
         np.testing.assert_array_equal(y0, y1)
