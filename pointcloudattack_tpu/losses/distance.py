@@ -123,12 +123,21 @@ def chamfer_hausdorff_nn(adv: jax.Array, ori: jax.Array):
 def chamfer_dist(
     adv: jax.Array, ori: jax.Array, method: str = "adv2ori"
 ) -> jax.Array:
-    """Single-direction or symmetric Chamfer distance, [B]."""
-    a2o, o2a = chamfer_both(adv, ori)
+    """Single-direction or symmetric Chamfer distance, [B].
+
+    Single directions go straight to the single-direction path: routing
+    them through :func:`chamfer_both` would trace the fused
+    two-direction kernel, whose custom_vjp computes BOTH directions
+    inseparably — XLA cannot DCE the unused one (measured on v5e: the
+    `knn` bench family pays 0.906 ms/iter for the both-kernel vs ~0.6
+    for one `min_sqdist_rows`; the reference default here is
+    single-direction, attack/CW/CW_utils/distance.py:35-50).
+    """
     if method == "adv2ori":
-        return a2o
+        return jnp.mean(_min_rows(adv, ori), axis=-1)
     if method == "ori2adv":
-        return o2a
+        return jnp.mean(_min_rows(ori, adv), axis=-1)
+    a2o, o2a = chamfer_both(adv, ori)
     return 0.5 * (a2o + o2a)
 
 

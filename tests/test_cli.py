@@ -603,8 +603,12 @@ def test_fused_fallback_disables_and_retries():
     )
     from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
 
-    prior = FUSED_MAXPOOL["enabled"]
+    prior = dict(FUSED_MAXPOOL)
     FUSED_MAXPOOL["enabled"] = True
+    # pin the gather tier OFF so this test isolates the chain-tier
+    # fallback (tri-state default None = policy would make the tiered
+    # de-escalation try gather first — that path has its own test below)
+    FUSED_MAXPOOL["gather"] = False
     _BUILD_MEMO["sentinel"] = object()
     calls = []
 
@@ -625,7 +629,7 @@ def test_fused_fallback_disables_and_retries():
                 lambda: (_ for _ in ()).throw(RuntimeError("plain"))
             )
     finally:
-        FUSED_MAXPOOL["enabled"] = prior
+        FUSED_MAXPOOL.update(prior)
 
 
 def test_fused_fallback_deescalates_gather_first():
