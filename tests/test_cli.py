@@ -683,7 +683,7 @@ def test_fused_fallback_reraises_unrelated_errors(monkeypatch):
     from pointcloudattack_tpu.cli.main import _attack_with_fused_fallback
     from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
 
-    prior = FUSED_MAXPOOL["enabled"]
+    prior = dict(FUSED_MAXPOOL)
     FUSED_MAXPOOL["enabled"] = True
     try:
         with pytest.raises(FileNotFoundError):
@@ -695,6 +695,11 @@ def test_fused_fallback_reraises_unrelated_errors(monkeypatch):
         assert FUSED_MAXPOOL["enabled"]  # unrelated error: kernels stay on
 
         monkeypatch.setenv("PCA_FUSED_FALLBACK_ANY", "1")
+        # gather=False pins the broad-insurance path to a single tier;
+        # tri-state None (policy) would count as "still on" and insert a
+        # gather-off retry first (tiered sequence pinned by
+        # test_fused_fallback_deescalates_gather_first).
+        FUSED_MAXPOOL["gather"] = False
         calls = []
 
         def run():
@@ -705,5 +710,14 @@ def test_fused_fallback_reraises_unrelated_errors(monkeypatch):
 
         assert _attack_with_fused_fallback(run) == "ok"
         assert calls == [True, False]
+
+        # policy-mode gather (None) counts as a live tier under broad
+        # insurance: the same unrelated error de-escalates gather first,
+        # then the chain kernels.
+        FUSED_MAXPOOL.update(enabled=True, gather=None)
+        calls.clear()
+        assert _attack_with_fused_fallback(run) == "ok"
+        assert calls == [True, True, False]
+        assert FUSED_MAXPOOL["gather"] is False
     finally:
-        FUSED_MAXPOOL["enabled"] = prior
+        FUSED_MAXPOOL.update(prior)
