@@ -249,7 +249,7 @@ def _bench_cw_victim(
         )
         mfu = _mfu(
             attack, dt, data, target, jax.random.PRNGKey(0), iters=iters,
-            key=("cw_victim", model_key),
+            key=("cw_victim", model_key, b),
         )
     finally:
         FUSED_MAXPOOL.update(prior)
@@ -268,11 +268,13 @@ def bench_cw_dgcnn(gather=None, chain=None):
     return _bench_cw_victim("DGCNN", seed=3, gather=gather, chain=chain)
 
 
-def bench_cw_ssg(gather=None, chain=None):
+def bench_cw_ssg(gather=None, chain=None, b=16):
     """CW on PointNet++ SSG (FPS + ball query + grouped set-abstraction
-    MLPs).  Default = shipped policy (round-4: chain + gather ON)."""
+    MLPs).  Default = shipped policy (round-4: chain + gather ON).
+    The iteration is ball-query-bound (BENCH.md SSG anatomy); b=32 is
+    the measured batch-amortization peak (+22%)."""
     return _bench_cw_victim(
-        "PointNet++Ssg", seed=6, gather=gather, chain=chain
+        "PointNet++Ssg", seed=6, gather=gather, chain=chain, b=b
     )
 
 
@@ -484,6 +486,9 @@ def main():
         ("cw_ssg", bench_cw_ssg),
         ("cw_ssg_nofuse",
          lambda: bench_cw_ssg(gather=False, chain=False)),
+        # batch-amortization arm: +22% over B=16 (BENCH.md SSG anatomy;
+        # B=64 measured 19.7 — worse, so 32 is the throughput point)
+        ("cw_ssg_b32", lambda: bench_cw_ssg(b=32)),
         ("knn", bench_knn),
         ("knn_r5", lambda: bench_knn(nn_refresh=5)),
         ("geoa3", bench_geoa3),
