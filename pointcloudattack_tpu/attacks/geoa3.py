@@ -145,9 +145,12 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
             f"curv_knn_refresh must be >= 1, got {cfg.curv_knn_refresh} "
             "(1 = reference per-iteration recompute)"
         )
-    # cache the curvature self-kNN in the scan carry only when it pays:
-    # at the default refresh=1 the loss recomputes it inline (reference
-    # loss_utils.py:83 semantics, bit-identical to round-2 behavior)
+    # refresh>1 restructures the iteration scan into periods (outer
+    # scan refreshes the index set unconditionally, inner scan holds it
+    # fixed) and the fixed-index curvature rides the cheap mask-rebuild
+    # kappa kernel; at the default refresh=1 the loss recomputes the
+    # self-kNN inline (reference loss_utils.py:83 semantics,
+    # bit-identical to round-2 behavior)
     cache_knn = cfg.curv_loss_weight != 0 and cfg.curv_knn_refresh > 1
     if cfg.cls_loss_type == "Margin":
         if cfg.targeted:
@@ -182,31 +185,26 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
             else jnp.zeros((b, n), dtype=ori.dtype)
         )
 
-        def make_iter_step(weight):
-            """Iteration body with the round's constraint weight baked in."""
+        def make_iter_step(weight, curv_idx=None):
+            """Iteration body with the round's constraint weight baked in.
+
+            ``curv_idx`` (cache_knn loops only) is the period's cached
+            curvature self-kNN index set, closed over as a constant of
+            the inner scan — the refresh itself happens unconditionally
+            at period start in ``make_period_step`` (a ``lax.cond``
+            per-iteration refresh measured 1.5x SLOWER than recomputing
+            at the reference schedule, BENCH.md round-3 ledger; the
+            nested scan removes the cond entirely).
+            """
 
             def iter_step(carry, inputs):
-                offset, opt_state, prev_constrain, best, jitter, curv_idx = (
-                    carry
-                )
+                offset, opt_state, prev_constrain, best, jitter = carry
                 it, k_it = inputs
                 best_loss, best_attack, iter_best_loss, iter_best_score = (
                     best
                 )
 
                 adv = ori + offset
-
-                if cache_knn:
-                    # the refresh iteration sees the same pre-step adv the
-                    # loss forward sees, so refresh=1 via this path would
-                    # match the inline recompute exactly (under jitter the
-                    # inline path runs on adv + jitter instead — cached
-                    # indices stay jitter-free by design)
-                    curv_idx = jax.lax.cond(
-                        it % cfg.curv_knn_refresh == 0,
-                        lambda: self_knn_idx(adv, cfg.curv_loss_knn),
-                        lambda: curv_idx,
-                    )
 
                 if cfg.use_jitter:
                     jitter = jax.lax.cond(
@@ -224,8 +222,7 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                         a = a + jitter
                     lg = model_fn(a)
                     cons = _constraint_loss(
-                        a, ori, normal_ori, k_ori, cfg,
-                        self_idx=curv_idx if cache_knn else None,
+                        a, ori, normal_ori, k_ori, cfg, self_idx=curv_idx
                     )
                     return jnp.sum(cls_fn(lg, target) + weight * cons), (
                         cons,
@@ -281,11 +278,42 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                 best = (
                     best_loss, best_attack, iter_best_loss, iter_best_score
                 )
-                return (
-                    offset, opt_state, constrain, best, jitter, curv_idx
-                ), None
+                return (offset, opt_state, constrain, best, jitter), None
 
             return iter_step
+
+        def make_period_step(weight, live_mask):
+            """cache_knn outer-scan body: one unconditional self-kNN
+            refresh per period, then ``curv_knn_refresh`` inner
+            iterations against the fixed index set.  ``live_mask``
+            (static None when the refresh divides iter_max_steps) marks
+            tail-padding iterations whose state updates are discarded —
+            the compiled program runs ceil(iters/refresh)*refresh
+            bodies so only ONE inner-scan HLO exists."""
+
+            def period_step(carry, inputs):
+                offset = carry[0]
+                # refresh sees the same pre-step adv the loss forward
+                # sees (pre-jitter — cached indices stay jitter-free by
+                # design), identical boundaries to `it % refresh == 0`
+                curv_idx = self_knn_idx(ori + offset, cfg.curv_loss_knn)
+                step = make_iter_step(weight, curv_idx)
+                if live_mask is None:
+                    carry, _ = jax.lax.scan(step, carry, inputs)
+                else:
+
+                    def body(c, inp):
+                        (it, k_it), live = inp
+                        nc, _ = step(c, (it, k_it))
+                        nc = jax.tree_util.tree_map(
+                            lambda a, b: jnp.where(live, a, b), nc, c
+                        )
+                        return nc, None
+
+                    carry, _ = jax.lax.scan(body, carry, inputs)
+                return carry, None
+
+            return period_step
 
         def binary_round(carry, k):
             lower, upper, const, best_loss, best_attack = carry
@@ -299,20 +327,52 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
             jit_keys = jax.random.split(k_jit, cfg.iter_max_steps)
             its = jnp.arange(cfg.iter_max_steps)
 
-            # iteration 0 always refreshes, so the int32 init is never read
-            curv_idx0 = jnp.zeros((b, n, cfg.curv_loss_knn), dtype=jnp.int32)
-            (offset, _, _, best, _, _), _ = jax.lax.scan(
-                make_iter_step(const),
-                (
-                    offset0,
-                    opt.init(offset0),
-                    jnp.full((b,), 1e10, dtype=jnp.float32),
-                    best0,
-                    jnp.zeros_like(ori),
-                    curv_idx0,
-                ),
-                (its, jit_keys),
+            carry0 = (
+                offset0,
+                opt.init(offset0),
+                jnp.full((b,), 1e10, dtype=jnp.float32),
+                best0,
+                jnp.zeros_like(ori),
             )
+            if cache_knn:
+                refresh = cfg.curv_knn_refresh
+                periods = -(-cfg.iter_max_steps // refresh)
+                pad = periods * refresh - cfg.iter_max_steps
+                if pad:
+                    # dead-tail iterations: `it` = iter_max_steps marks
+                    # them, their key slots reuse head keys (never
+                    # emitted — the live mask discards every update)
+                    its_p = jnp.concatenate(
+                        [its, jnp.full((pad,), cfg.iter_max_steps, its.dtype)]
+                    )
+                    keys_p = jnp.concatenate([jit_keys, jit_keys[:pad]])
+                    live = (its_p < cfg.iter_max_steps).reshape(
+                        periods, refresh
+                    )
+                    xs = (
+                        (
+                            its_p.reshape(periods, refresh),
+                            keys_p.reshape(
+                                (periods, refresh) + jit_keys.shape[1:]
+                            ),
+                        ),
+                        live,
+                    )
+                else:
+                    live = None
+                    xs = (
+                        its.reshape(periods, refresh),
+                        jit_keys.reshape(
+                            (periods, refresh) + jit_keys.shape[1:]
+                        ),
+                    )
+                (offset, _, _, best, _), _ = jax.lax.scan(
+                    make_period_step(const, live), carry0, xs
+                )
+            else:
+                (offset, _, _, best, _), _ = jax.lax.scan(
+                    make_iter_step(const), carry0, (its, jit_keys)
+                )
             best_loss, best_attack, _, iter_best_score = best
 
             # final-output success drives the bisection

@@ -109,18 +109,22 @@ def kappa_adv(
     if nn_idx is None:
         nn_idx = nn1_idx(adv, ori)
     normal = index_points(ori_normal, nn_idx)  # [B, N, 3]
-    if self_idx is None:
-        from pointcloudattack_tpu.ops.pallas.kappa_kernel import (
-            kappa_knn_mean,
-            use_kappa_kernel,
-        )
+    from pointcloudattack_tpu.ops.pallas.kappa_kernel import (
+        kappa_knn_mean,
+        kappa_knn_mean_from_idx,
+        use_kappa_kernel,
+    )
 
-        # the fused TPU path: self-kNN + gather + normalize + project
-        # in one Pallas program, nothing [N, N]- or [B, N, K, 3]-shaped
+    if use_kappa_kernel(adv.shape[1], k):
+        # the fused TPU paths: nothing [N, N]- or [B, N, K, 3]-shaped
         # in HBM either direction (ops/pallas/kappa_kernel.py; the hot
-        # GeoA3 per-iteration call, BENCH.md anatomy)
-        if use_kappa_kernel(adv.shape[1], k):
+        # GeoA3 per-iteration call, BENCH.md anatomy).  With a cached
+        # index set the selection-mask rebuild is K compare/or passes
+        # instead of the (k+1)-pick argmin loop — the refresh loops'
+        # per-iteration saving.
+        if self_idx is None:
             return kappa_knn_mean(adv, normal, k), normal
+        return kappa_knn_mean_from_idx(adv, normal, self_idx, k), normal
     idx = self_knn_idx(adv, k) if self_idx is None else self_idx
     vec = _neighbour_offsets(adv, adv, idx)
     vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)

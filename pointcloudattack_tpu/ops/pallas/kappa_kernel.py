@@ -143,12 +143,23 @@ def _kappa_bwd_kernel(
     le_hi = (d0 < tk) | ((d0 == tk) & (col <= ik))
     le_lo = (d0 < m0) | ((d0 == m0) & (col <= i0))
     sel = le_hi & jnp.logical_not(le_lo)
+    _bwd_scatter_core(
+        k, j, xr, nr, xat, nrt, xrt, dk_ref[0], sel, d0, p, mii,
+        nbr_ref, ctr_ref, dnrm_ref,
+    )
 
+
+def _bwd_scatter_core(
+    k, j, xr, nr, xat, nrt, xrt, dk, sel, d0, p, mii,
+    nbr_ref, ctr_ref, dnrm_ref,
+):
+    """Shared backward body once the selection mask ``sel`` is known
+    (both the in-kernel-kNN and the cached-index variants end here)."""
     rn = jnp.sqrt(jnp.maximum(d0, 0.0))
     rr = rn + _EPS
     num = p - mii
     s = jnp.sign(num)
-    w = dk_ref[0] / k  # [R, 1]
+    w = dk / k  # [R, 1]
     guard = sel & (d0 > 0)
     # d|u.n|/dv = s*(n/rr - (p/rr)(v/rn)) with v = a_j - a_i, rr=|v|+eps:
     # alpha scales n_i, beta scales v
@@ -309,6 +320,159 @@ def _kappa_bwd_rule(k, interpret, res, dkap):
 
 
 kappa_knn_mean.defvjp(_kappa_fwd_rule, _kappa_bwd_rule)
+
+
+# ---------------------------------------------------------------------
+# kappa from CACHED neighbour indices (GeoA3 ``curv_knn_refresh`` > 1).
+#
+# Same bilinear forward as the selection kernel, but the picked set is
+# rebuilt from a given [B, N, K] index array: K compare/or passes over
+# the [R, N] block instead of the (k+1)-pick sequential argmin loop
+# (~4x fewer dependent VPU passes — the documented bound of the GeoA3
+# iteration, BENCH.md anatomy).  Semantics twin: the gather composition
+# in losses/geometry.py::kappa_adv's ``self_idx`` path (reference
+# loss_utils.py:72-90 with loss_utils.py:83's kNN held fixed between
+# refreshes).  Exact-duplicate neighbours contribute the limit value 0
+# in forward AND backward (the gather path's 0/eps forward, NaN grad).
+# ---------------------------------------------------------------------
+
+
+def _idx_sel(ix, col, k):
+    """[R, N] membership mask of the k given columns (distinct by
+    construction — kNN index sets)."""
+    sel = col == ix[:, 0:1]
+    for t in range(1, k):
+        sel = sel | (col == ix[:, t : t + 1])
+    return sel
+
+
+def _kappa_idx_fwd_kernel(k, n, rows_ref, nrm_ref, allt_ref, idx_ref, kap_ref):
+    xr = rows_ref[0]  # [R, 3]
+    nr = nrm_ref[0]  # [R, 3]
+    xat = allt_ref[0]  # [3, N]
+    ix = idx_ref[0]  # [R, K] int32
+    r = xr.shape[0]
+
+    d0 = _exact_sqdist(xr, xat, n)
+    p = _proj(nr, xat, n)
+    mii = jnp.sum(nr * xr, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    sel = _idx_sel(ix, col, k)
+
+    rn = jnp.sqrt(jnp.maximum(d0, 0.0))
+    rr = rn + _EPS
+    num = p - mii
+    contrib = jnp.where(sel & (d0 > 0), jnp.abs(num) / rr, 0.0)
+    kap_ref[0] = jnp.sum(contrib, axis=1, keepdims=True) / k
+
+
+def _kappa_idx_bwd_kernel(
+    k, n, rows_ref, nrm_ref, allt_ref, nrmt_ref, rowst_ref,
+    dk_ref, idx_ref, nbr_ref, ctr_ref, dnrm_ref,
+):
+    j = pl.program_id(1)
+    xr = rows_ref[0]
+    nr = nrm_ref[0]
+    xat = allt_ref[0]
+    nrt = nrmt_ref[0]
+    xrt = rowst_ref[0]
+    r = xr.shape[0]
+
+    d0 = _exact_sqdist(xr, xat, n)
+    p = _proj(nr, xat, n)
+    mii = jnp.sum(nr * xr, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    sel = _idx_sel(idx_ref[0], col, k)
+    _bwd_scatter_core(
+        k, j, xr, nr, xat, nrt, xrt, dk_ref[0], sel, d0, p, mii,
+        nbr_ref, ctr_ref, dnrm_ref,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _kappa_idx_fwd(adv, normal, idx, k: int, interpret: bool = False):
+    b, n, _ = adv.shape
+    r = _row_block(n)
+    adv = adv.astype(jnp.float32)
+    normal = normal.astype(jnp.float32)
+    advt = jnp.swapaxes(adv, 1, 2)
+    grid = (b, n // r)
+    kap = pl.pallas_call(
+        functools.partial(_kappa_idx_fwd_kernel, k, n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, r, k), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        interpret=interpret,
+    )(adv, normal, advt, idx.astype(jnp.int32))
+    return kap[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _kappa_idx_bwd(adv, normal, idx, dkap, k: int, interpret: bool):
+    b, n, _ = adv.shape
+    r = _row_block(n)
+    adv = adv.astype(jnp.float32)
+    normal = normal.astype(jnp.float32)
+    advt = jnp.swapaxes(adv, 1, 2)
+    nrmt = jnp.swapaxes(normal, 1, 2)
+    grid = (b, n // r)
+    nbr, ctr, dnrm = pl.pallas_call(
+        functools.partial(_kappa_idx_bwd_kernel, k, n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),  # rows
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),  # normals
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0)),  # advT full
+            pl.BlockSpec((1, 3, r), lambda i, j: (i, 0, j)),  # normalT blk
+            pl.BlockSpec((1, 3, r), lambda i, j: (i, 0, j)),  # advT blk
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0)),  # dkappa
+            pl.BlockSpec((1, r, k), lambda i, j: (i, j, 0)),  # idx
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, n), lambda i, j: (i, 0, 0)),  # nbr (acc)
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),  # centre
+            pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),  # dnormal
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 3, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adv, normal, advt, nrmt, advt, dkap, idx.astype(jnp.int32))
+    dadv = jnp.swapaxes(nbr, 1, 2) - ctr
+    return dadv, dnrm
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def kappa_knn_mean_from_idx(adv, normal, idx, k: int, interpret: bool = False):
+    """kappa_i = mean over the GIVEN k neighbour columns of
+    |unit(a_j - a_i) . n_i|, [B, N] — the cached-index twin of
+    :func:`kappa_knn_mean` (GeoA3 ``curv_knn_refresh`` loops refresh
+    ``idx`` every R iterations; indices carry no tangent)."""
+    return _kappa_idx_fwd(adv, normal, idx, k, interpret)
+
+
+def _kappa_idx_fwd_rule(adv, normal, idx, k, interpret):
+    kap = _kappa_idx_fwd(adv, normal, idx, k, interpret)
+    return kap, (adv, normal, idx)
+
+
+def _kappa_idx_bwd_rule(k, interpret, res, dkap):
+    adv, normal, idx = res
+    dadv, dnrm = _kappa_idx_bwd(
+        adv, normal, idx, dkap[..., None], k, interpret
+    )
+    return dadv.astype(adv.dtype), dnrm.astype(normal.dtype), None
+
+
+kappa_knn_mean_from_idx.defvjp(_kappa_idx_fwd_rule, _kappa_idx_bwd_rule)
 
 
 def reference_kappa_xla(adv, normal, k: int):

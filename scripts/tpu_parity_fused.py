@@ -266,6 +266,15 @@ def main():
     ok = ok and r["pass"]
     print(f"# kappa_geoa3: {r}", file=sys.stderr, flush=True)
 
+    # screen the cached-index kappa variant (curv_knn_refresh loops)
+    try:
+        r = run_kappa_idx(interpret=args.interpret)
+    except Exception as e:
+        r = {"error": f"{type(e).__name__}: {e}"[:200], "pass": False}
+    out["kappa_idx_geoa3"] = r
+    ok = ok and r["pass"]
+    print(f"# kappa_idx_geoa3: {r}", file=sys.stderr, flush=True)
+
     # screen the fused two-direction chamfer bundle kernel
     try:
         r = run_chamfer_both(interpret=args.interpret)
@@ -402,6 +411,73 @@ def run_kappa(interpret: bool = False) -> dict:
         lambda a: (xla_kappa(a), jax.grad(
             lambda x: jnp.sum(xla_kappa(x) * w))(a))
     )(pts)
+    y1, g1, y0, g0 = map(np.asarray, (y1, g1, y0, g0))
+    fwd_rel = float(np.max(np.abs(y1 - y0) / (np.abs(y0) + 1e-9)))
+    denom = float(np.linalg.norm(g0) * np.linalg.norm(g1)) or 1.0
+    grad_cos = float(np.sum(g0 * g1) / denom)
+    return {
+        "kernel_engaged": engaged,
+        "fwd_max_rel_diff": fwd_rel,
+        "grad_cos": round(grad_cos, 8),
+        "thresholds": {"fwd_rel_tol": 5e-3, "grad_cos_min": 0.999},
+        "pass": bool(
+            np.isfinite(y1).all()
+            and np.isfinite(g1).all()
+            and engaged
+            and fwd_rel < 5e-3
+            and grad_cos > 0.999
+        ),
+    }
+
+
+def run_kappa_idx(interpret: bool = False) -> dict:
+    """Cached-index kappa (kappa_knn_mean_from_idx) vs the shipped
+    gather composition it replaces in the ``curv_knn_refresh`` loops
+    (losses/geometry.py::kappa_adv self_idx path).  Indices come from a
+    DIFFERENT cloud than the one evaluated — exactly the staleness the
+    refresh loops create."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointcloudattack_tpu.geometry.normals import estimate_normal
+    from pointcloudattack_tpu.losses.geometry import (
+        _neighbour_offsets,
+        self_knn_idx,
+    )
+    from pointcloudattack_tpu.ops.pallas.kappa_kernel import (
+        kappa_knn_mean_from_idx,
+        use_kappa_kernel,
+    )
+
+    b, n, k = 8, 1024, 16
+    pts = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3), jnp.float32)
+    pts = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    # stale-index setting: indices from pts, evaluation on a moved cloud
+    moved = pts + 0.01 * jax.random.normal(jax.random.PRNGKey(7), pts.shape)
+    nrm = estimate_normal(pts, k=3)
+    idx = self_knn_idx(pts, k)
+    engaged = bool(use_kappa_kernel(n, k)) or interpret
+
+    def xla_kappa(a):
+        vec = _neighbour_offsets(a, a, idx)
+        vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
+        return jnp.mean(
+            jnp.abs(jnp.sum(vec * nrm[:, :, None, :], axis=-1)), axis=-1
+        )
+
+    def fused_kappa(a):
+        return kappa_knn_mean_from_idx(a, nrm, idx, k, interpret)
+
+    w = jax.random.normal(jax.random.PRNGKey(5), (b, n))
+    y1, g1 = jax.jit(
+        lambda a: (fused_kappa(a), jax.grad(
+            lambda x: jnp.sum(fused_kappa(x) * w))(a))
+    )(moved)
+    y0, g0 = jax.jit(
+        lambda a: (xla_kappa(a), jax.grad(
+            lambda x: jnp.sum(xla_kappa(x) * w))(a))
+    )(moved)
     y1, g1, y0, g0 = map(np.asarray, (y1, g1, y0, g0))
     fwd_rel = float(np.max(np.abs(y1 - y0) / (np.abs(y0) + 1e-9)))
     denom = float(np.linalg.norm(g0) * np.linalg.norm(g1)) or 1.0

@@ -211,6 +211,53 @@ def test_geoa3_curv_knn_refresh_asr_parity(trained_pointnet):
         assert lf_.mean() <= lr_.mean() * 2.0 + 1e-3
 
 
+def test_geoa3_refresh_pad_tail(trained_pointnet):
+    """Non-divisible refresh period (iters % refresh != 0): the nested
+    scan pads the last period with dead iterations whose updates are
+    masked out — the result must be finite and the attack functional,
+    and the number of LIVE iterations must equal iter_max_steps (probed
+    via a refresh that equals the divisible case on a shared prefix)."""
+    import dataclasses
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    data = jnp.asarray(clouds[:2])
+    target = jnp.asarray(labels[:2])
+    key = jax.random.PRNGKey(5)
+
+    base = GeoA3Config(
+        binary_max_steps=1,
+        iter_max_steps=20,
+        initial_const=1.0,
+        curv_loss_knn=8,
+        normal_k=4,
+    )
+    # 20 % 3 == 2: two dead tail iterations get padded in
+    padded = dataclasses.replace(base, curv_knn_refresh=3)
+    adv_p, loss_p, succ_p = build_geoa3_attack(model_fn, padded)(
+        data, target, key
+    )
+    assert np.all(np.isfinite(np.asarray(adv_p)))
+    # refresh=20 (one period, no pad) and refresh=21 (one period, one
+    # dead pad iteration) run the SAME live iterations against the same
+    # cached index set -> equal results up to compile-level reassociation
+    # (the live-masked inner body is a different XLA program)
+    one = dataclasses.replace(base, curv_knn_refresh=20)
+    adv_1, loss_1, _ = build_geoa3_attack(model_fn, one)(
+        data, target, key
+    )
+    two = dataclasses.replace(base, curv_knn_refresh=21)
+    adv_2, loss_2, _ = build_geoa3_attack(model_fn, two)(
+        data, target, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(adv_1), np.asarray(adv_2), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(loss_1), np.asarray(loss_2), rtol=1e-3, atol=1e-5
+    )
+
+
 def test_aof_fast_spectral_matches_dense(trained_pointnet):
     """LOBPCG + shared-basis AOF must match the per-round dense-eigh
     path on ASR (the round-1 behavior)."""

@@ -133,3 +133,84 @@ def test_gate_respects_backend_and_env(monkeypatch):
     # unsupported geometry is rejected regardless
     assert not use_kappa_kernel(1000, 16)
     assert not use_kappa_kernel(256, 300)
+
+
+# ---------------------------------------------------------------------
+# cached-index variant (kappa_knn_mean_from_idx)
+# ---------------------------------------------------------------------
+
+
+def _gather_kappa(pts, nrm, idx):
+    """The shipped gather-composition twin of the cached-index kernel
+    (losses.geometry.kappa_adv self_idx path, reference
+    loss_utils.py:72-90 with the kNN held fixed)."""
+    vec = G._neighbour_offsets(pts, pts, idx)
+    vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
+    return jnp.mean(
+        jnp.abs(jnp.sum(vec * nrm[:, :, None, :], axis=-1)), axis=-1
+    )
+
+
+@pytest.mark.parametrize("k", [4, 16])
+def test_idx_fwd_matches_gather_twin_and_selection_kernel(k):
+    from pointcloudattack_tpu.ops.pallas.kappa_kernel import _kappa_idx_fwd
+
+    pts, nrm = _cloud(seed=5)
+    idx = G.self_knn_idx(pts, k)
+    kap = _kappa_idx_fwd(pts, nrm, idx, k, interpret=True)
+    ref = _gather_kappa(pts, nrm, idx)
+    np.testing.assert_allclose(
+        np.asarray(kap), np.asarray(ref), rtol=2e-3, atol=1e-5
+    )
+    # fed the self-kNN sets the selection kernel picks itself, the two
+    # kernels share the contribution formula exactly
+    kap_sel, *_ = _kappa_fwd(pts, nrm, k, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(kap), np.asarray(kap_sel), rtol=1e-6, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("k", [4, 16])
+def test_idx_bwd_matches_autodiff_of_gather_twin(k):
+    from pointcloudattack_tpu.ops.pallas.kappa_kernel import (
+        kappa_knn_mean_from_idx,
+    )
+
+    pts, nrm = _cloud(b=2, n=256, seed=6)
+    idx = G.self_knn_idx(pts, k)
+    w = jax.random.normal(jax.random.PRNGKey(11), pts.shape[:2])
+
+    def loss_kernel(a, m):
+        return jnp.sum(kappa_knn_mean_from_idx(a, m, idx, k, True) * w)
+
+    def loss_twin(a, m):
+        return jnp.sum(_gather_kappa(a, m, idx) * w)
+
+    ga, gn = jax.grad(loss_kernel, argnums=(0, 1))(pts, nrm)
+    ra, rn = jax.grad(loss_twin, argnums=(0, 1))(pts, nrm)
+    for got, ref in ((ga, ra), (gn, rn)):
+        got, ref = np.asarray(got).ravel(), np.asarray(ref).ravel()
+        cos = np.dot(got, ref) / (
+            np.linalg.norm(got) * np.linalg.norm(ref) + 1e-30
+        )
+        assert cos > 1.0 - 1e-6, cos
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=1e-5)
+
+
+def test_idx_variant_stale_indices_duplicates_finite():
+    """Stale cached indices on a moved cloud: a cached neighbour that
+    collides exactly with its centre contributes 0 with finite grads."""
+    from pointcloudattack_tpu.ops.pallas.kappa_kernel import (
+        kappa_knn_mean_from_idx,
+    )
+
+    pts, nrm = _cloud(b=1, n=256, seed=7)
+    k = 4
+    idx = G.self_knn_idx(pts, k)
+    moved = pts.at[0, 9].set(pts[0, int(idx[0, 9, 0])])  # collide
+    kap = kappa_knn_mean_from_idx(moved, nrm, idx, k, True)
+    assert np.all(np.isfinite(np.asarray(kap)))
+    g = jax.grad(
+        lambda a: jnp.sum(kappa_knn_mean_from_idx(a, nrm, idx, k, True))
+    )(moved)
+    assert np.all(np.isfinite(np.asarray(g)))
