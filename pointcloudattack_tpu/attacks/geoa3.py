@@ -340,12 +340,22 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
                 pad = periods * refresh - cfg.iter_max_steps
                 if pad:
                     # dead-tail iterations: `it` = iter_max_steps marks
-                    # them, their key slots reuse head keys (never
-                    # emitted — the live mask discards every update)
+                    # them, their key slots reuse the head key (never
+                    # emitted — the live mask discards every update).
+                    # Broadcast rather than slice: pad may exceed
+                    # iter_max_steps when curv_knn_refresh > iters
+                    # ("freeze indices for the whole round").
                     its_p = jnp.concatenate(
                         [its, jnp.full((pad,), cfg.iter_max_steps, its.dtype)]
                     )
-                    keys_p = jnp.concatenate([jit_keys, jit_keys[:pad]])
+                    keys_p = jnp.concatenate(
+                        [
+                            jit_keys,
+                            jnp.broadcast_to(
+                                jit_keys[:1], (pad,) + jit_keys.shape[1:]
+                            ),
+                        ]
+                    )
                     live = (its_p < cfg.iter_max_steps).reshape(
                         periods, refresh
                     )

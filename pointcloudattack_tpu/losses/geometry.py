@@ -33,6 +33,28 @@ def _neighbour_offsets(pc: jax.Array, nbrs: jax.Array, idx: jax.Array):
     return gathered - pc[:, :, None, :]
 
 
+def _masked_unit_projection(vec: jax.Array, normal: jax.Array) -> jax.Array:
+    """mean_k |unit(vec) . normal| with exact-collision masking, [B, N].
+
+    A stale cached neighbour index can collide with its centre point
+    (vec == 0) once the attack moves the cloud; plain normalization then
+    has a NaN gradient through ``norm`` at 0 even though the forward is
+    finite.  Double-``where`` guards the norm so collisions contribute
+    the limit value 0 in forward AND backward — the same semantics the
+    fused kernel implements (ops/pallas/kappa_kernel.py ``d0 > 0``
+    mask), keeping the two backends aligned.
+    """
+    sq = jnp.sum(vec * vec, axis=-1, keepdims=True)  # [B, N, k, 1]
+    nonzero = sq > 0
+    safe = jnp.where(nonzero, vec, 1.0)
+    unit = safe / (
+        jnp.sqrt(jnp.sum(safe * safe, axis=-1, keepdims=True)) + 1e-12
+    )
+    proj = jnp.abs(jnp.sum(unit * normal[:, :, None, :], axis=-1))
+    proj = jnp.where(nonzero[..., 0], proj, 0.0)
+    return jnp.mean(proj, axis=-1)
+
+
 def self_knn_idx(pc: jax.Array, k: int) -> jax.Array:
     """Self-kNN indices excluding self, [B, N, k].
 
@@ -76,10 +98,7 @@ def kappa_ori(pc: jax.Array, normal: jax.Array, k: int = 2) -> jax.Array:
         return kappa_knn_mean(pc, normal, k)
     idx = self_knn_idx(pc, k)
     vec = _neighbour_offsets(pc, pc, idx)  # [B, N, k, 3]
-    vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
-    return jnp.mean(
-        jnp.abs(jnp.sum(vec * normal[:, :, None, :], axis=-1)), axis=-1
-    )
+    return _masked_unit_projection(vec, normal)
 
 
 def kappa_adv(
@@ -127,11 +146,7 @@ def kappa_adv(
         return kappa_knn_mean_from_idx(adv, normal, self_idx, k), normal
     idx = self_knn_idx(adv, k) if self_idx is None else self_idx
     vec = _neighbour_offsets(adv, adv, idx)
-    vec = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
-    kappa = jnp.mean(
-        jnp.abs(jnp.sum(vec * normal[:, :, None, :], axis=-1)), axis=-1
-    )
-    return kappa, normal
+    return _masked_unit_projection(vec, normal), normal
 
 
 def curvature_loss(

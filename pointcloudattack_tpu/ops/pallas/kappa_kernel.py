@@ -391,6 +391,11 @@ def _kappa_idx_bwd_kernel(
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def _kappa_idx_fwd(adv, normal, idx, k: int, interpret: bool = False):
+    if idx.shape[-1] != k:
+        raise ValueError(
+            f"idx has {idx.shape[-1]} neighbour columns but k={k}; "
+            "kappa_knn_mean_from_idx uses exactly k columns"
+        )
     b, n, _ = adv.shape
     r = _row_block(n)
     adv = adv.astype(jnp.float32)
@@ -455,7 +460,13 @@ def kappa_knn_mean_from_idx(adv, normal, idx, k: int, interpret: bool = False):
     """kappa_i = mean over the GIVEN k neighbour columns of
     |unit(a_j - a_i) . n_i|, [B, N] — the cached-index twin of
     :func:`kappa_knn_mean` (GeoA3 ``curv_knn_refresh`` loops refresh
-    ``idx`` every R iterations; indices carry no tangent)."""
+    ``idx`` every R iterations; indices carry no tangent).
+
+    Precondition: ``idx.shape[-1] == k`` (enforced) and the k indices
+    in each row are DISTINCT — the kernel rebuilds the picked set as a
+    column-membership mask (:func:`_idx_sel`), so a duplicated index
+    value contributes once, not per-slot like the gather twin.  kNN
+    index sets satisfy this by construction."""
     return _kappa_idx_fwd(adv, normal, idx, k, interpret)
 
 

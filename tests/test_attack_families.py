@@ -256,6 +256,21 @@ def test_geoa3_refresh_pad_tail(trained_pointnet):
     np.testing.assert_allclose(
         np.asarray(loss_1), np.asarray(loss_2), rtol=1e-3, atol=1e-5
     )
+    # refresh > 2*iters ("freeze indices for the whole round"): pad
+    # exceeds iter_max_steps — the pad keys are broadcast, not sliced
+    # (ADVICE r4: jit_keys[:pad] under-supplied keys and the period
+    # reshape crashed at trace time).  Same live iterations as
+    # refresh=20 -> same result up to compile-level reassociation.
+    frozen = dataclasses.replace(base, curv_knn_refresh=50)
+    adv_50, loss_50, _ = build_geoa3_attack(model_fn, frozen)(
+        data, target, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(adv_1), np.asarray(adv_50), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(loss_1), np.asarray(loss_50), rtol=1e-3, atol=1e-5
+    )
 
 
 def test_aof_fast_spectral_matches_dense(trained_pointnet):

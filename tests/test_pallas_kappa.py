@@ -214,3 +214,43 @@ def test_idx_variant_stale_indices_duplicates_finite():
         lambda a: jnp.sum(kappa_knn_mean_from_idx(a, nrm, idx, k, True))
     )(moved)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fallback_path_stale_collision_finite():
+    """CPU/XLA-fallback twin of the collision test: kappa_adv with a
+    cached ``self_idx`` whose neighbour collides exactly with its
+    centre must share the kernel's limit-0 semantics — forward 0 for
+    that slot and FINITE gradients (losses/geometry.py
+    ``_masked_unit_projection`` double-where guard; previously the
+    gather path emitted NaN grads through ``norm`` at 0)."""
+    pts, nrm = _cloud(b=1, n=64, seed=11)
+    k = 4
+    idx = G.self_knn_idx(pts, k)
+    moved = pts.at[0, 9].set(pts[0, int(idx[0, 9, 0])])  # collide
+
+    def loss(a):
+        kap, _ = G.kappa_adv(a, pts, nrm, k=k, self_idx=idx)
+        return jnp.sum(kap)
+
+    kap, _ = G.kappa_adv(moved, pts, nrm, k=k, self_idx=idx)
+    assert np.all(np.isfinite(np.asarray(kap)))
+    g = jax.grad(loss)(moved)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # kappa_ori fallback shares the guard (duplicate point in the cloud)
+    dup = pts.at[0, 5].set(pts[0, 6])
+    g2 = jax.grad(lambda a: jnp.sum(G.kappa_ori(a, nrm, k=2)))(dup)
+    assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_idx_variant_rejects_k_mismatch():
+    """kappa_knn_mean_from_idx uses exactly k columns — a caller
+    passing a wider/narrower idx must fail loudly, not silently use a
+    prefix (ADVICE r4)."""
+    from pointcloudattack_tpu.ops.pallas.kappa_kernel import (
+        kappa_knn_mean_from_idx,
+    )
+
+    pts, nrm = _cloud(b=1, n=256, seed=7)
+    idx = G.self_knn_idx(pts, 6)  # 6 columns
+    with pytest.raises(ValueError, match="neighbour columns"):
+        kappa_knn_mean_from_idx(pts, nrm, idx, 4, True)
