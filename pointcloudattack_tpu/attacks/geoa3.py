@@ -118,6 +118,25 @@ def _constraint_loss(
     return total
 
 
+def _make_cls_fn(cfg: GeoA3Config):
+    """Classification-loss term per ``cls_loss_type`` (GeoA3_attack.py
+    :103-183 applies Margin/CE/None identically in full and partial
+    modes).  Returns per-example [B]."""
+    if cfg.cls_loss_type == "Margin":
+        if cfg.targeted:
+            return lambda lg, t: logits_adv_loss(lg, t, cfg.confidence)
+        return lambda lg, t: untargeted_logits_adv_loss(
+            lg, t, cfg.confidence
+        )
+    if cfg.cls_loss_type == "CE":
+        return (
+            cross_entropy_adv_loss
+            if cfg.targeted
+            else lambda lg, t: -cross_entropy_adv_loss(lg, t)
+        )
+    return lambda lg, t: jnp.zeros(lg.shape[0], dtype=lg.dtype)
+
+
 def _offset_proj(offset, ori, normal_ori):
     """Project offsets onto the normal of the nearest clean point.
 
@@ -152,21 +171,7 @@ def build_geoa3_attack(model_fn, cfg: GeoA3Config):
     # self-kNN inline (reference loss_utils.py:83 semantics,
     # bit-identical to round-2 behavior)
     cache_knn = cfg.curv_loss_weight != 0 and cfg.curv_knn_refresh > 1
-    if cfg.cls_loss_type == "Margin":
-        if cfg.targeted:
-            cls_fn = lambda lg, t: logits_adv_loss(lg, t, cfg.confidence)
-        else:
-            cls_fn = lambda lg, t: untargeted_logits_adv_loss(
-                lg, t, cfg.confidence
-            )
-    elif cfg.cls_loss_type == "CE":
-        cls_fn = (
-            cross_entropy_adv_loss
-            if cfg.targeted
-            else lambda lg, t: -cross_entropy_adv_loss(lg, t)
-        )
-    else:
-        cls_fn = lambda lg, t: jnp.zeros(lg.shape[0], dtype=lg.dtype)
+    cls_fn = _make_cls_fn(cfg)
 
     if cfg.use_lr_scheduler:
         sched = optax.exponential_decay(cfg.lr, 1, cfg.lr_gamma)

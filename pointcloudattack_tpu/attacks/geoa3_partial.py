@@ -26,10 +26,10 @@ import optax
 from pointcloudattack_tpu.attacks.geoa3 import (
     GeoA3Config,
     _constraint_loss,
+    _make_cls_fn,
 )
 from pointcloudattack_tpu.geometry.normals import estimate_normal
-from pointcloudattack_tpu.losses.adv import cross_entropy_adv_loss
-from pointcloudattack_tpu.losses.geometry import kappa_ori
+from pointcloudattack_tpu.losses.geometry import kappa_ori, self_knn_idx
 from pointcloudattack_tpu.ops.fps import farthest_point_sample
 from pointcloudattack_tpu.ops.gather import index_points
 from pointcloudattack_tpu.ops.knn import knn_points
@@ -43,19 +43,22 @@ class GeoA3PartialConfig(GeoA3Config):
 
 
 def build_geoa3_partial_attack(model_fn, cfg: GeoA3PartialConfig):
-    """Compiled (data, target, key) -> (adv, best_loss, success)."""
-    if cfg.cls_loss_type != "CE":
-        raise NotImplementedError("partial mode ships with CE loss only")
-    if cfg.curv_knn_refresh != 1:
-        raise NotImplementedError(
-            "curv_knn_refresh caching is a full-variable fast path; the "
-            "partial loop recomputes the curvature self-kNN per iteration"
+    """Compiled (data, target, key) -> (adv, best_loss, success).
+
+    ``cls_loss_type`` Margin/CE/None applies exactly as in full mode
+    (the reference's ``_forward_step``, GeoA3_attack.py:103-183, is
+    shared by both).  ``curv_knn_refresh > 1`` caches the curvature
+    self-kNN index set in the scan carry and refreshes it by
+    ``lax.cond`` every R iterations — unlike the full loop's nested
+    period scans (the patch refresh already forces a per-iteration
+    ``lax.cond``, so restructuring buys nothing here).
+    """
+    if cfg.curv_knn_refresh < 1:
+        raise ValueError(
+            f"curv_knn_refresh must be >= 1, got {cfg.curv_knn_refresh}"
         )
-    cls_fn = (
-        cross_entropy_adv_loss
-        if cfg.targeted
-        else lambda lg, t: -cross_entropy_adv_loss(lg, t)
-    )
+    cache_knn = cfg.curv_loss_weight != 0 and cfg.curv_knn_refresh > 1
+    cls_fn = _make_cls_fn(cfg)
     opt = optax.adam(cfg.lr)
 
     @jax.jit
@@ -90,7 +93,8 @@ def build_geoa3_partial_attack(model_fn, cfg: GeoA3PartialConfig):
         def make_iter_step(weight, k_patch):
             def iter_step(carry, inputs):
                 it, k_it = inputs
-                (offset, mask, base, opt_state, prev_cons, best) = carry
+                (offset, mask, base, opt_state, prev_cons, best,
+                 curv_idx) = carry
                 best_loss, best_attack = best
 
                 def refresh(args):
@@ -116,11 +120,21 @@ def build_geoa3_partial_attack(model_fn, cfg: GeoA3PartialConfig):
 
                 adv = base + offset * mask
 
+                if cache_knn:
+                    # refresh sees the same pre-step adv the loss
+                    # forward sees (full-mode period-boundary twin)
+                    curv_idx = jax.lax.cond(
+                        it % cfg.curv_knn_refresh == 0,
+                        lambda: self_knn_idx(adv, cfg.curv_loss_knn),
+                        lambda: curv_idx,
+                    )
+
                 def loss_fn(off):
                     a = base + off * mask
                     lg = model_fn(a)
                     cons = _constraint_loss(
-                        a, ori, normal_ori, k_ori, cfg
+                        a, ori, normal_ori, k_ori, cfg,
+                        self_idx=curv_idx if cache_knn else None,
                     )
                     return (
                         jnp.sum(cls_fn(lg, target) + weight * cons),
@@ -151,7 +165,7 @@ def build_geoa3_partial_attack(model_fn, cfg: GeoA3PartialConfig):
 
                 return (
                     offset, mask, base, opt_state, cons,
-                    (best_loss, best_attack),
+                    (best_loss, best_attack), curv_idx,
                 ), None
 
             return iter_step
@@ -162,12 +176,17 @@ def build_geoa3_partial_attack(model_fn, cfg: GeoA3PartialConfig):
             offset0 = jnp.zeros_like(ori)
             mask0 = jnp.zeros((b, n, 1), dtype=ori.dtype)
             its = jnp.arange(cfg.iter_max_steps)
-            (offset, mask, base, _, _, best), _ = jax.lax.scan(
+            curv_idx0 = (
+                jnp.zeros((b, n, cfg.curv_loss_knn), dtype=jnp.int32)
+                if cache_knn
+                else jnp.zeros((b,), dtype=jnp.int32)  # unused stub
+            )
+            (offset, mask, base, _, _, best, _), _ = jax.lax.scan(
                 make_iter_step(const, k_patch),
                 (
                     offset0, mask0, ori, opt.init(offset0),
                     jnp.full((b,), 1e10, dtype=jnp.float32),
-                    (best_loss, best_attack),
+                    (best_loss, best_attack), curv_idx0,
                 ),
                 (its, jax.random.split(k_iter, cfg.iter_max_steps)),
             )

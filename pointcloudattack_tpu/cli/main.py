@@ -394,7 +394,9 @@ def _run_family(
         acfg = GeoA3PartialConfig(
             lr=args.attack_lr, binary_max_steps=args.binary_step or 10,
             iter_max_steps=args.num_iter or 500, targeted=targeted,
-            cls_loss_type="CE",
+            cls_loss_type=args.cls_loss_type,
+            confidence=args.confidence,
+            curv_knn_refresh=args.curv_knn_refresh,
             knn_range=args.knn_range, refresh_iters=args.refresh_iters,
             subsample_npoint=args.subsample_npoint,
         )

@@ -128,6 +128,73 @@ def test_geoa3_partial_variable(trained_pointnet):
     assert moved.max() <= 3 * 24 * 2 + 1  # bounded by patches touched
 
 
+def test_geoa3_partial_margin_loss(trained_pointnet):
+    """Partial mode with Margin cls loss (reference GeoA3_attack.py
+    :103-183 applies cls_loss_type identically in partial and full
+    modes; the rebuild refused this combination until round 5)."""
+    from pointcloudattack_tpu.attacks.geoa3_partial import (
+        GeoA3PartialConfig,
+        build_geoa3_partial_attack,
+    )
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    cfg = GeoA3PartialConfig(
+        binary_max_steps=2, iter_max_steps=100, initial_const=1.0,
+        curv_loss_knn=8, normal_k=4, knn_range=24, refresh_iters=25,
+        cls_loss_type="Margin", confidence=0.0,
+    )
+    attack = build_geoa3_partial_attack(model_fn, cfg)
+    adv, best_loss, success = attack(
+        jnp.asarray(clouds[:3]), jnp.asarray(labels[:3]),
+        jax.random.PRNGKey(0),
+    )
+    adv = np.asarray(adv)
+    assert np.all(np.isfinite(adv))
+    # Margin should be at least competitive with CE on this toy victim
+    ce = GeoA3PartialConfig(
+        binary_max_steps=2, iter_max_steps=100, initial_const=1.0,
+        curv_loss_knn=8, normal_k=4, knn_range=24, refresh_iters=25,
+    )
+    _, _, succ_ce = build_geoa3_partial_attack(model_fn, ce)(
+        jnp.asarray(clouds[:3]), jnp.asarray(labels[:3]),
+        jax.random.PRNGKey(0),
+    )
+    assert (
+        np.asarray(success).mean() >= np.asarray(succ_ce).mean() - 0.34
+    )
+
+
+def test_geoa3_partial_curv_refresh(trained_pointnet):
+    """Partial mode with curv_knn_refresh > 1 (cached curvature index
+    set, cond-refreshed inside the patch scan) stays finite and keeps
+    ASR near the per-iteration recompute."""
+    import dataclasses
+
+    from pointcloudattack_tpu.attacks.geoa3_partial import (
+        GeoA3PartialConfig,
+        build_geoa3_partial_attack,
+    )
+
+    model, variables, clouds, labels = trained_pointnet
+    model_fn = make_model_fn(model, variables)
+    data = jnp.asarray(clouds[:3])
+    target = jnp.asarray(labels[:3])
+    base = GeoA3PartialConfig(
+        binary_max_steps=2, iter_max_steps=100, initial_const=1.0,
+        curv_loss_knn=8, normal_k=4, knn_range=24, refresh_iters=25,
+    )
+    adv_r, _, succ_r = build_geoa3_partial_attack(model_fn, base)(
+        data, target, jax.random.PRNGKey(0)
+    )
+    fast = dataclasses.replace(base, curv_knn_refresh=4)
+    adv_f, _, succ_f = build_geoa3_partial_attack(model_fn, fast)(
+        data, target, jax.random.PRNGKey(0)
+    )
+    assert np.all(np.isfinite(np.asarray(adv_f)))
+    assert np.asarray(succ_f).mean() >= np.asarray(succ_r).mean() - 0.34
+
+
 def test_geoa3_partial_subsample(trained_pointnet):
     from pointcloudattack_tpu.attacks.geoa3_partial import (
         GeoA3PartialConfig,

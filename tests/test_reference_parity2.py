@@ -876,6 +876,117 @@ class TestGeoA3EndToEnd:
             f"GeoA3 ASR ref={ref_asr} ours={our_asr}"
         )
 
+    def test_geoa3_partial_margin_asr_parity(
+        self, cpu_cuda, symeig_shim, monkeypatch, trained_pointnet
+    ):
+        """Partial-variable mode (is_partial_var, GeoA3_attack.py
+        :259-300) with Margin cls loss (:110-120) — the reference-legal
+        configuration the rebuild refused through round 4.  Patch seeds
+        are host RNG on both sides, so parity is statistical ASR, same
+        tolerance as the full-mode test.  The knn-shim norm-swap defect
+        is corrected on the reference side exactly as in
+        test_geoa3_asr_parity (the partial loop shares _forward_step)."""
+        from model.pointnet import PointNetCls
+
+        from pointcloudattack_tpu.attacks.geoa3_partial import (
+            GeoA3PartialConfig,
+            build_geoa3_partial_attack,
+        )
+        from pointcloudattack_tpu.train import torch_port
+
+        ga = self._import_ref_geoa3()
+        import attack.GeoA3.knn_utils as ref_knn_utils
+
+        ref_loss_utils = sys.modules["loss_utils"]
+
+        def fixed_knn_points(p1, p2, K=1, **kw):
+            d = ((p1[:, :, None, :] - p2[:, None, :, :]) ** 2).sum(-1)
+            negv, idx = torch.topk(-d, K, dim=-1)
+            return ref_knn_utils._KNN(dists=-negv, idx=idx, knn=None)
+
+        monkeypatch.setattr(ref_loss_utils, "knn_points", fixed_knn_points)
+        # the partial path's own patch query (GeoA3_attack.py:262) only
+        # self-queries the clean cloud, where the swap cancels — but fix
+        # it too for hygiene
+        monkeypatch.setattr(ga, "knn_points", fixed_knn_points)
+
+        model, variables, clouds, labels = trained_pointnet
+        clouds = np.asarray(clouds, dtype=np.float32)
+        labels = np.asarray(labels)
+
+        sd = torch_port.export_pointnet(variables)
+        ref_model = PointNetCls(k=3)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        )
+        ref_model.eval()
+
+        knn_range = 24
+        cfg = types.SimpleNamespace(
+            attack_method="untarget", classes=3,
+            binary_max_steps=self.BINARY, iter_max_steps=self.ITERS,
+            binary_step=self.BINARY, num_iter=self.ITERS,
+            initial_const=10.0, optim="adam", lr=0.01,
+            is_use_lr_scheduler=False,
+            cls_loss_type="Margin", confidence=0.0,
+            dis_loss_type="CD", is_cd_single_side=False,
+            dis_loss_weight=1.0, hd_loss_weight=0.1,
+            curv_loss_weight=1.0, curv_loss_knn=16,
+            uniform_loss_weight=0.0,
+            is_partial_var=True, is_subsample_opt=False,
+            npoint=64, eval_num=1,
+            is_pre_jitter_input=False,
+            calculate_project_jitter_noise_iter=50,
+            jitter_k=16, jitter_sigma=0.01, jitter_clip=0.05,
+            is_pro_grad=False, is_real_offset=False,
+            cc_linf=0.0, is_debug=False, knn_range=knn_range,
+        )
+
+        class _ChannelsLastShim(torch.nn.Module):
+            def __init__(self, m):
+                super().__init__()
+                self.m = m
+
+            def forward(self, x):
+                return self.m(x.transpose(2, 1).contiguous())
+
+        shim = _ChannelsLastShim(ref_model)
+
+        torch.manual_seed(19)
+        np.random.seed(19)
+        ref_succ = 0
+        for i in range(self.N_SAMPLES):
+            pc = torch.from_numpy(clouds[i : i + 1])
+            lab = torch.from_numpy(labels[i : i + 1])
+            _, _, success, _, _ = ga.geoA3_attack(
+                ref_model, shim, shim, shim, shim, shim,
+                pc, lab, cfg, i, self.N_SAMPLES,
+            )
+            ref_succ += int(np.asarray(success).sum())
+        ref_asr = ref_succ / self.N_SAMPLES
+
+        def model_fn(x):
+            out, _ = model.apply(variables, x, train=False)
+            return out
+
+        ours = GeoA3PartialConfig(
+            lr=0.01, binary_max_steps=self.BINARY,
+            iter_max_steps=self.ITERS, initial_const=10.0,
+            cls_loss_type="Margin", confidence=0.0,
+            dis_loss_type="CD",
+            hd_loss_weight=0.1, curv_loss_weight=1.0, curv_loss_knn=16,
+            knn_range=knn_range, refresh_iters=50,
+        )
+        _, _, success = build_geoa3_partial_attack(model_fn, ours)(
+            jnp.asarray(clouds[: self.N_SAMPLES]),
+            jnp.asarray(labels[: self.N_SAMPLES]),
+            jax.random.PRNGKey(0),
+        )
+        our_asr = float(np.mean(np.asarray(success)))
+        assert abs(our_asr - ref_asr) <= 1.0 / self.N_SAMPLES + 1e-9, (
+            f"GeoA3 partial+Margin ASR ref={ref_asr} ours={our_asr}"
+        )
+
 
 class TestAddPointsEndToEnd:
     """Reference CWAdd (attack/Gen3DAdv/IndpAdd_attack.py:45-290) vs
