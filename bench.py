@@ -278,6 +278,96 @@ def bench_cw_ssg(gather=None, chain=None, b=16):
     )
 
 
+def bench_cw_msg(b=16):
+    """CW on PointNet++ MSG (3-radius multi-scale grouping; the widest
+    SA towers in the zoo).  Default = shipped policy (round-4 A/B:
+    chain+gather ON, +27%).  Previously only measured by the A/B script
+    — round-5 verdict task: track it in the driver JSON."""
+    return _bench_cw_victim("PointNet++Msg", seed=12, b=b)
+
+
+def bench_iso_lockstep():
+    """Device-resident batched-Thompson TSI (the --iso_lockstep CLI
+    path, measured 17-18x over the host-sequential reference twin in
+    round 3).  The whole bandit is ONE lax.while_loop dispatch; the
+    returned arrays are host-synced inside, so plain wall-clock timing
+    is already fenced.  No MFU: the loop is probe-bound and its trip
+    count is data-dependent (early exit on all-success)."""
+    from pointcloudattack_tpu.attacks import iso as I
+
+    b = 4 if _SMOKE else 32
+    num_init = 3 if _SMOKE else 50
+    clouds, labels = make_synthetic_clouds(8, max(1, b // 8), NUM_POINTS, seed=13)
+    data = jnp.asarray(clouds[:b])
+    labs = jnp.asarray(labels[:b])
+    model = models.make_model("PointNet", NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=b
+    )
+    model_fn = make_model_fn(model, variables)
+
+    def run_once(i):
+        bandit = I.BernThompson(d=4, a0=-np.pi, b0=np.pi, seed=17 + i)
+        return I.thompson_sample_attack_lockstep(
+            bandit, data, labs, num_init=num_init, model_fn=model_fn,
+            key=jax.random.PRNGKey(21 + i),
+        )
+
+    run_once(0)  # compile + warm
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run_once(1 + i)  # host-synced return = fenced
+        times.append(time.perf_counter() - t0)
+    dt = sum(times) / len(times)
+    return {
+        "clouds_per_sec": round(b / dt, 3),
+        "clouds_per_sec_best": round(b / min(times), 3),
+        "sec_per_batch": round(dt, 4),
+        "mfu": None,
+    }
+
+
+def bench_si_query():
+    """Shape-invariant sensitivity-ranked query attack (reference
+    SIadv_attack.py:503-624) — the query-family representative in the
+    driver JSON (round-5 verdict task).  One jit: tangent-frame build +
+    surrogate grad rank + N-probe query loop."""
+    from pointcloudattack_tpu.attacks.siadv import (
+        SIAdvConfig,
+        build_si_query_attack,
+    )
+
+    b = 4 if _SMOKE else 32
+    clouds, labels = make_synthetic_clouds(8, max(1, b // 8), NUM_POINTS, seed=14)
+    data = jnp.asarray(clouds[:b])
+    target = jnp.asarray(labels[:b])
+    model = models.make_model("PointNet", NUM_CLASSES)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=NUM_POINTS, batch=b
+    )
+    model_fn = make_model_fn(model, variables)
+    cfg = SIAdvConfig(eps=0.18, step_size=0.32)
+    attack = build_si_query_attack(model_fn, model_fn, cfg)
+    dt, dt_min = _time_enqueued(
+        lambda i: attack(data + 0e0 * i, target),
+        lambda out: out[3],
+        reps=3,
+        per_rep=True,
+    )
+    return {
+        "clouds_per_sec": round(b / dt, 3),
+        "clouds_per_sec_best": round(b / dt_min, 3),
+        "sec_per_batch": round(dt, 4),
+        # the probe loop runs up to 2 victim forwards per point; iters=
+        # NUM_POINTS counts the scan body once per point (upper bound
+        # semantics identical to the other families' iters handling)
+        "mfu": _mfu(
+            attack, dt, data, target, iters=NUM_POINTS, key=("si_query",)
+        ),
+    }
+
+
 def bench_cw_curvenet():
     """CW on CurveNet (the compile- and gather-heaviest victim).
     Default = shipped policy (round-4: fully UNFUSED — careful 3-arm
@@ -489,6 +579,7 @@ def main():
         # batch-amortization arm: +22% over B=16 (BENCH.md SSG anatomy;
         # B=64 measured 19.7 — worse, so 32 is the throughput point)
         ("cw_ssg_b32", lambda: bench_cw_ssg(b=32)),
+        ("cw_msg", bench_cw_msg),
         ("knn", bench_knn),
         ("knn_r5", lambda: bench_knn(nn_refresh=5)),
         ("geoa3", bench_geoa3),
@@ -496,6 +587,8 @@ def main():
         ("aof", bench_aof),
         ("si_ifgm", bench_si_ifgm),
         ("si_ifgm_r5", lambda: bench_si_ifgm(normal_refresh=5)),
+        ("iso_lockstep", bench_iso_lockstep),
+        ("si_query", bench_si_query),
         # compile-heaviest victim LAST: if the budget trips, the
         # verdict-tracked families above still get measured
         ("cw_curvenet", bench_cw_curvenet),
