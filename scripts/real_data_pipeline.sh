@@ -17,7 +17,9 @@
 #     FAMILY     attack family for the demo (default cw)
 #   Extra knobs via env: EPOCHS (default 150, reference train.py:33),
 #   NUM_POINTS (default 4096 for face data, reference train.py:36),
-#   BATCH (default 32), OUT (default runs/real_<dataset>).
+#   BATCH (default 32), OUT (default runs/real_<dataset>),
+#   PLATFORM (cpu|tpu, default: jax default), ATTACK_ARGS (extra flags
+#   for the attack step, e.g. "--binary_step 2 --num_iter 100").
 #
 # ShapeNet part benchmark download (reference scripts/download.sh):
 #   wget https://shapenet.cs.stanford.edu/ericyi/shapenetcore_partanno_segmentation_benchmark_v0.zip
@@ -35,6 +37,9 @@ NUM_POINTS="${NUM_POINTS:-4096}"
 BATCH="${BATCH:-32}"
 OUT="${OUT:-runs/real_$(echo "$DATASET" | tr 'A-Z' 'a-z')}"
 CLI="python -m pointcloudattack_tpu.cli.main"
+PLATFORM_ARGS=""
+[ -n "${PLATFORM:-}" ] && PLATFORM_ARGS="--platform $PLATFORM"
+ATTACK_ARGS="${ATTACK_ARGS:-}"
 
 if [ ! -d "$DATA_ROOT" ]; then
   cat >&2 <<EOF
@@ -63,7 +68,7 @@ case "$DATASET" in
     # concern — data/csvsplit.py::inject_adversarial_rows)
     ext=".bnt"; [ "$DATASET" = Eurecom ] && ext=".txt"
     echo "== make-splits ($DATA_ROOT, ext $ext) ==" >&2
-    $CLI make-splits --data_root "$DATA_ROOT" --ext "$ext" --seed 0
+    $CLI make-splits $PLATFORM_ARGS --data_root "$DATA_ROOT" --ext "$ext" --seed 0
     TRAIN_PATH="$DATA_ROOT/train.csv"
     TEST_PATH="$DATA_ROOT/eval.csv"
     ;;
@@ -74,7 +79,7 @@ case "$DATASET" in
 esac
 
 echo "== train ($MODEL on $DATASET, $EPOCHS epochs) ==" >&2
-$CLI train \
+$CLI train $PLATFORM_ARGS \
   --dataset "$DATASET" --dataset_path "$TRAIN_PATH" \
   --eval_dataset_path "$TEST_PATH" \
   --model "$MODEL" --num_points "$NUM_POINTS" --batch_size "$BATCH" \
@@ -82,17 +87,17 @@ $CLI train \
 
 CKPT="$OUT/${MODEL}_model_on_${DATASET}"
 echo "== test (held-out accuracy) ==" >&2
-$CLI test \
+$CLI test $PLATFORM_ARGS \
   --dataset "$DATASET" --dataset_path "$TEST_PATH" \
   --model "$MODEL" --num_points "$NUM_POINTS" --batch_size "$BATCH" \
   --checkpoint "$CKPT" --output_dir "$OUT"
 
 echo "== attack ($FAMILY sweep over the eval split) ==" >&2
-$CLI attack "$FAMILY" \
+$CLI attack "$FAMILY" $PLATFORM_ARGS \
   --dataset "$DATASET" --dataset_path "$TEST_PATH" \
   --model "$MODEL" --num_points "$NUM_POINTS" --batch_size "$BATCH" \
   --checkpoint "$CKPT" --output_dir "$OUT" \
-  --attack_batch "$BATCH" --resume
+  --attack_batch "$BATCH" --resume $ATTACK_ARGS
 
 echo "== report ==" >&2
 echo "artifacts in $OUT/ (checkpoint, attack_chunks/*.npz, metrics)."
