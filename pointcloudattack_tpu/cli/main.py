@@ -1369,6 +1369,9 @@ def build_parser():
     p.set_defaults(fn=cmd_test_advdata)
 
     p = sub.add_parser("view")
+    p.add_argument("--platform", default="",
+                   help="accepted on every subcommand so drivers can "
+                        "pass it uniformly (view itself runs no jax)")
     p.add_argument("cloud", help="N x 3(+) txt cloud (e.g. an AdvData dump)")
     p.add_argument("--cmds", default="",
                    help="scripted keys (e.g. 'nnjs q'); empty = stdin")
@@ -1377,6 +1380,10 @@ def build_parser():
     p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("make-splits")
+    p.add_argument("--platform", default="",
+                   help="accepted on every subcommand so drivers can "
+                        "pass it uniformly (make-splits itself runs no "
+                        "jax)")
     p.add_argument("--data_root", required=True)
     p.add_argument("--ext", default=".bnt")
     p.add_argument("--seed", type=int, default=0)
