@@ -117,6 +117,54 @@ def test_multihost_helpers_single_host():
     np.testing.assert_array_equal(np.asarray(gx), x)
 
 
+def test_multihost_two_process_smoke():
+    """Real 2-process jax.distributed run of parallel/multihost.py
+    (round-5 verdict task 7): coordinator + worker subprocesses, 2
+    virtual CPU devices each, assert DCN batch assembly and a
+    replicated global reduction agree (details in
+    tests/_multihost_worker.py)."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    try:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+    except OSError as e:  # sandboxed environments without loopback bind
+        pytest.skip(f"cannot bind a local port: {e}")
+
+    worker = str(Path(__file__).parent / "_multihost_worker.py")
+    env = {
+        k: v for k, v in __import__("os").environ.items()
+        if k != "XLA_FLAGS"
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\n{out}\n{err[-3000:]}"
+        assert "MULTIHOST_OK" in out, (out, err[-2000:])
+    # both processes fetched the SAME replicated global sum
+    sums = {o.split("MULTIHOST_OK ")[1].split()[0] for _, o, _ in outs}
+    assert len(sums) == 1, sums
+
+
 def test_sharded_aof_matches_single(trained_pointnet):
     """Scan-heavy spectral family under batch sharding (VERDICT r1 #9)."""
     from pointcloudattack_tpu.attacks.aof import AOFConfig, build_aof_attack
