@@ -40,6 +40,7 @@ limit value 0 for both the forward contribution and the gradient.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -115,6 +116,86 @@ def _kappa_fwd_kernel(
     i0_ref[0] = i0
     tk_ref[0] = jnp.sum(jnp.where(col == it, d0, 0.0), axis=1, keepdims=True)
     ik_ref[0] = it
+
+
+# Forward pick-loop variant (round-5 verdict task 4): v2 applies the
+# backward's threshold reconstruction to the FORWARD.  v1 keeps the
+# k+1 x {min, where(col), min, mask} index-extraction loop for A/B
+# (scripts/bench_kappa_pick_ab.py).  Outputs are BITWISE identical
+# (tests/test_pallas_kappa.py::test_pick_v1_v2_bitwise).
+_PICK = os.environ.get("PCA_KAPPA_PICK", "v2")
+
+
+def _kappa_fwd_kernel_v2(
+    k, n, rows_ref, nrm_ref, allt_ref,
+    kap_ref, m0_ref, i0_ref, tk_ref, ik_ref,
+):
+    """Value-extraction pick loop + boundary reconstruction.
+
+    The v1 loop spends ~6 VPU passes per pick extracting each pick's
+    COLUMN (min, d==m compare, where(col, n), second min, col==it
+    compare, mask write).  But the forward only needs the selection
+    MASK and the 4 boundary residuals (m0, i0, T, iK) the backward
+    already reconstructs the mask from — so v2 extracts distinct
+    VALUES only (3 passes per pick: min, compare, mask write) with a
+    cumulative multiplicity count to find the boundary value T, then
+    rebuilds the boundary COLUMN iK with one lane-cumsum rank pick,
+    and the selection mask as the lex-interval test the backward uses.
+    ~68N vs ~102N VPU element-ops at k=16, and a shorter dependency
+    chain per pass.  Ties at the boundary value (the reference's
+    lax.top_k stable order, smallest columns first) stay exact via the
+    cumsum rank.
+    """
+    xr = rows_ref[0]  # [R, 3]
+    nr = nrm_ref[0]  # [R, 3]
+    xat = allt_ref[0]  # [3, N]
+    r = xr.shape[0]
+
+    d0 = _exact_sqdist(xr, xat, n)
+    p = _proj(nr, xat, n)
+    mii = jnp.sum(nr * xr, axis=-1, keepdims=True)  # [R, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+
+    kk = jnp.float32(k + 1)
+    d = d0
+    cnt = jnp.zeros((r, 1), jnp.float32)
+    tval = jnp.zeros((r, 1), jnp.float32)
+    cb = jnp.zeros((r, 1), jnp.float32)
+    for _ in range(k + 1):
+        m = jnp.min(d, axis=1, keepdims=True)  # [R, 1]
+        tie = d == m
+        c = jnp.sum(tie.astype(jnp.float32), axis=1, keepdims=True)
+        crossing = (cnt < kk) & (cnt + c >= kk)
+        tval = jnp.where(crossing, m, tval)
+        cb = jnp.where(crossing, cnt, cb)
+        cnt = cnt + c
+        d = jnp.where(tie, jnp.inf, d)
+
+    # boundary column: the (k+1-cb)-th smallest column among the ties
+    # at T (exact counts: n <= 4096 << 2^24 in f32)
+    rq = kk - cb  # [R, 1] in [1, k+1]
+    tie_t = d0 == tval
+    cs = jnp.cumsum(tie_t.astype(jnp.float32), axis=1)
+    ik = jnp.min(
+        jnp.where(tie_t & (cs == rq), col, n), axis=1, keepdims=True
+    )
+
+    # first pick (the reference's excluded self column): value is the
+    # row minimum (exactly 0 at the self column), column is lex-first
+    m0 = jnp.min(d0, axis=1, keepdims=True)
+    i0 = jnp.min(jnp.where(d0 == m0, col, n), axis=1, keepdims=True)
+
+    sel = (d0 < tval) | (tie_t & (col <= ik))
+    rn = jnp.sqrt(jnp.maximum(d0, 0.0))
+    rr = rn + _EPS
+    num = p - mii
+    contrib = jnp.where(sel & (d0 > 0), jnp.abs(num) / rr, 0.0)
+    kap_ref[0] = jnp.sum(contrib, axis=1, keepdims=True) / k  # [R, 1]
+
+    m0_ref[0] = m0
+    i0_ref[0] = i0
+    tk_ref[0] = tval
+    ik_ref[0] = ik
 
 
 def _kappa_bwd_kernel(
@@ -215,16 +296,21 @@ def _row_block(n: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _kappa_fwd(adv, normal, k: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "pick"))
+def _kappa_fwd(adv, normal, k: int, interpret: bool = False, pick: str = ""):
     b, n, _ = adv.shape
     r = _row_block(n)
     adv = adv.astype(jnp.float32)
     normal = normal.astype(jnp.float32)
     advt = jnp.swapaxes(adv, 1, 2)  # [B, 3, N]
     grid = (b, n // r)
+    fwd_kernel = (
+        _kappa_fwd_kernel
+        if (pick or _PICK) == "v1"
+        else _kappa_fwd_kernel_v2
+    )
     outs = pl.pallas_call(
-        functools.partial(_kappa_fwd_kernel, k, n),
+        functools.partial(fwd_kernel, k, n),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, r, 3), lambda i, j: (i, j, 0)),
