@@ -119,11 +119,17 @@ def _kappa_fwd_kernel(
 
 
 # Forward pick-loop variant (round-5 verdict task 4): v2 applies the
-# backward's threshold reconstruction to the FORWARD.  v1 keeps the
-# k+1 x {min, where(col), min, mask} index-extraction loop for A/B
-# (scripts/bench_kappa_pick_ab.py).  Outputs are BITWISE identical
-# (tests/test_pallas_kappa.py::test_pick_v1_v2_bitwise).
-_PICK = os.environ.get("PCA_KAPPA_PICK", "v2")
+# backward's threshold reconstruction to the FORWARD — a value-
+# extraction loop (3 VPU passes/pick vs v1's ~6) plus a cumsum-rank
+# boundary rebuild.  Outputs are BITWISE identical
+# (tests/test_pallas_kappa.py::test_pick_v1_v2_bitwise), but v2
+# measured NEGATIVE on v5e (scripts/bench_kappa_pick_ab.py: kernel
+# 575 vs 556 us/call at [8, 1024] k=16; geoa3 1.565 vs 1.593
+# clouds/s): Mosaic has no cumsum lowering, so the boundary rank is a
+# 10-step pltpu.roll Hillis–Steele scan (scan_util.py) whose ~30
+# dependent [R, N] passes eat the ~50 saved by the cheaper picks.
+# v1 stays the default; v2 is kept as the A/B arm (PCA_KAPPA_PICK=v2).
+_PICK = os.environ.get("PCA_KAPPA_PICK", "v1")
 
 
 def _kappa_fwd_kernel_v2(
@@ -172,10 +178,13 @@ def _kappa_fwd_kernel_v2(
         d = jnp.where(tie, jnp.inf, d)
 
     # boundary column: the (k+1-cb)-th smallest column among the ties
-    # at T (exact counts: n <= 4096 << 2^24 in f32)
+    # at T (exact counts: n <= 4096 << 2^24 in f32).  Running count via
+    # the roll-scan — Mosaic has no cumsum lowering (scan_util.py).
+    from pointcloudattack_tpu.ops.pallas.scan_util import lane_cumsum
+
     rq = kk - cb  # [R, 1] in [1, k+1]
     tie_t = d0 == tval
-    cs = jnp.cumsum(tie_t.astype(jnp.float32), axis=1)
+    cs = lane_cumsum(tie_t.astype(jnp.float32))
     ik = jnp.min(
         jnp.where(tie_t & (cs == rq), col, n), axis=1, keepdims=True
     )
