@@ -43,6 +43,13 @@ def _env_tri(name: str):
 FUSED_MAXPOOL = {
     "enabled": _env_tri("PCA_FUSED_MAXPOOL"),
     "gather": _env_tri("PCA_FUSED_GATHER"),
+    # in-kernel ball query riding on the gather kernel
+    # (ops/pallas/gather_chain_kernel.py::ball_gather_chain_groupmax)
+    "ballq": _env_tri("PCA_FUSED_BALLQ"),
+    # scatter-free gather VJP (ops/gather.py::index_points_mm_bwd) for
+    # a family's differentiated neighbour gathers — a BACKWARD-only
+    # tier, orthogonal to the forward chain/gather kernels
+    "mm_bwd": _env_tri("PCA_MM_GATHER_BWD"),
     "interpret": False,
     # set by retry_without_fused_maxpool when a hardware rejection flips
     # a tier off mid-process — bench.py records it per family
@@ -61,8 +68,12 @@ FUSED_MAXPOOL = {
 # PCA_FUSED_GATHER =0/1 force-override everything.
 FUSED_POLICY: dict = {
     "pointnet": {"chain": True, "chain_bf16": False},
-    "ssg": {"chain": True, "gather": True},
-    "msg": {"chain": True, "gather": True},
+    # "ballq": in-kernel ball query on top of the gather fusion — the
+    # [B, S, N, K] slot one-hot (SSG's measured forward bound, ~0.5
+    # GB/iter: BENCH.md anatomy, round-5 verdict task 3) never exists.
+    # Measured v5e A/B in BENCH.md round 5.
+    "ssg": {"chain": True, "gather": True, "ballq": True},
+    "msg": {"chain": True, "gather": True, "ballq": True},
     "dgcnn": {"chain": False, "gather": False},
     # CurveNet: pure XLA WINS (careful 3-arm A/B, B=8x100, 4 post-warmup
     # reps each: off 22.71 ms/iter = 3.52 clouds/s, chain 29.18 = 2.74,
@@ -70,7 +81,13 @@ FUSED_POLICY: dict = {
     # clouds/s was contaminated by the axon server's first-execution
     # program load landing inside the timed reps.  Both tiers stay
     # available via the PCA_FUSED_* force flags.
-    "curvenet": {"chain": False, "gather": False},
+    # "mm_bwd": the round-5 anatomy (BENCH.md) pinned the CurveNet CW
+    # iteration on the model VJP (23.1 of 22.7 ms/iter; forward only
+    # 6.1) — the differentiated neighbour gathers' scatter-add
+    # backwards.  index_points_mm_bwd replaces them with one-hot
+    # transpose matmuls (the same trade GeoA3 measured 4.9x on in
+    # round 3); measured v5e A/B in BENCH.md round 5.
+    "curvenet": {"chain": False, "gather": False, "mm_bwd": True},
     "punet": {"chain": True, "gather": False},
 }
 
@@ -100,6 +117,37 @@ def fused_gather_on(family: str = "", dtype=None) -> bool:
     if dtype is not None and jnp.dtype(dtype) == jnp.bfloat16:
         return bool(pol.get("gather_bf16", False))
     return bool(pol.get("gather", False))
+
+
+def fused_ballq_on(family: str = "", dtype=None) -> bool:
+    """Should the in-kernel BALL QUERY variant of the gather kernel
+    dispatch?  Requires the gather tier to be live for the family (the
+    ball kernel subsumes gather+chain, so a family that measured
+    gather-off keeps ballq off too); master "enabled" False kills it.
+    PCA_FUSED_BALLQ=0/1 force-overrides the per-family policy (the
+    forced-on case still needs the gather tier on — use both flags)."""
+    if not fused_gather_on(family, dtype):
+        return False
+    v = FUSED_MAXPOOL["ballq"]
+    if v is not None:
+        return bool(v)
+    pol = FUSED_POLICY.get(family, {})
+    if dtype is not None and jnp.dtype(dtype) == jnp.bfloat16:
+        return bool(pol.get("ballq_bf16", False))
+    return bool(pol.get("ballq", False))
+
+
+def mm_gather_on(family: str = "") -> bool:
+    """Should ``family``'s differentiated neighbour gathers use the
+    scatter-free one-hot MXU VJP (ops/gather.py::index_points_mm_bwd)
+    instead of XLA's scatter-add?  Backward-only: forwards are bitwise
+    identical either way (both are the flat row lookup); the VJP
+    deviation is f32 matmul reduction order.  PCA_MM_GATHER_BWD=0/1
+    force-overrides the per-family policy."""
+    v = FUSED_MAXPOOL["mm_bwd"]
+    if v is not None:
+        return bool(v)
+    return bool(FUSED_POLICY.get(family, {}).get("mm_bwd", False))
 
 
 def fused_state() -> str:
@@ -158,7 +206,9 @@ def retry_without_fused_maxpool(run, on_disable=None):
             # tri-state knobs: None (policy — possibly on for some
             # families) counts as "still on" for de-escalation; forcing
             # to False turns the tier off everywhere
-            if FUSED_MAXPOOL["gather"] is not False:
+            if FUSED_MAXPOOL["ballq"] is not False:
+                knob, label = "ballq", "in-kernel ball-query fusion"
+            elif FUSED_MAXPOOL["gather"] is not False:
                 knob, label = "gather", "in-kernel gather fusion"
             elif FUSED_MAXPOOL["enabled"] is not False:
                 knob, label = "enabled", "fused chain+pool kernels"

@@ -38,13 +38,32 @@ import jax.numpy as jnp
 
 from pointcloudattack_tpu.ops.ball_query import query_ball_point
 from pointcloudattack_tpu.ops.fps import farthest_point_sample
-from pointcloudattack_tpu.ops.gather import index_points
+from pointcloudattack_tpu.ops.gather import index_points, index_points_mm_bwd
 from pointcloudattack_tpu.ops.knn import knn
 
 CURVE_CONFIG = {
     "default": [[100, 5], [100, 5], None, None],
     "long": [[10, 30], None, None, None],
 }
+
+
+def _dgather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """DIFFERENTIATED neighbour gather (gradient flows into ``points``).
+
+    The round-5 CW-iteration anatomy (BENCH.md "CurveNet anatomy")
+    pinned this model's attack cost on the backward: VJP 23.1 ms vs
+    forward 6.1 at [8, 1024], i.e. the ~20 scatter-adds XLA emits for
+    these gathers' VJPs.  Per the measured per-victim policy
+    (models/common.py FUSED_POLICY["curvenet"]["mm_bwd"]) they route
+    through the one-hot transpose-matmul VJP instead — forward bitwise
+    identical, backward exact up to f32 matmul reduction order.
+    Index-only gathers (walk adjacency hops) stay plain
+    ``index_points``."""
+    from pointcloudattack_tpu.models.common import mm_gather_on
+
+    if mm_gather_on("curvenet"):
+        return index_points_mm_bwd(points, idx)
+    return index_points(points, idx)
 
 
 def straight_through_softmax(logits: jax.Array, axis: int = -1) -> jax.Array:
@@ -200,7 +219,7 @@ class LPFA(nn.Module):
                 )
                 return pooled.astype(xyz.dtype)
 
-        nbr_xyz = index_points(xyz, idx)  # [B, N, k, 3]
+        nbr_xyz = _dgather(xyz, idx)  # [B, N, k, 3]
         ctr_xyz = jnp.broadcast_to(xyz[:, :, None, :], nbr_xyz.shape)
         point_feature = jnp.concatenate(
             [ctr_xyz, nbr_xyz, nbr_xyz - ctr_xyz], axis=-1
@@ -209,7 +228,7 @@ class LPFA(nn.Module):
         if self.initial:
             h = point_feature
         else:
-            nbr_x = index_points(x, idx)  # [B, N, k, C]
+            nbr_x = _dgather(x, idx)  # [B, N, k, C]
             diff = nbr_x - x[:, :, None, :]
             pf = nn.Dense(x.shape[-1], use_bias=False, name="xyz2feature")(
                 point_feature
@@ -290,7 +309,7 @@ class Walk(nn.Module):
         momentum = _BNDense(2, act=False, name="momentum_mlp")
 
         cur_idx = start  # [B, cn]
-        pre_feature = index_points(x, cur_idx)  # [B, cn, C]
+        pre_feature = _dgather(x, cur_idx)  # [B, cn, C]
         cur_feature = None
         steps = []
 
@@ -312,7 +331,7 @@ class Walk(nn.Module):
                 )
 
             pick_idx = index_points(adj, cur_idx)  # [B, cn, k] neighbour ids
-            pick_values = index_points(x, pick_idx.reshape(x.shape[0], -1))
+            pick_values = _dgather(x, pick_idx.reshape(x.shape[0], -1))
             pick_values = pick_values.reshape(
                 x.shape[0], self.curve_num, self.k, c
             )
@@ -438,9 +457,9 @@ class MaskedMaxPool(nn.Module):
     @nn.compact
     def __call__(self, xyz: jax.Array, feats: jax.Array):
         fps_idx = farthest_point_sample(xyz, self.npoint, key=None)
-        new_xyz = index_points(xyz, fps_idx)
+        new_xyz = _dgather(xyz, fps_idx)
         idx = query_ball_point(self.radius, self.k, xyz, new_xyz)
-        grouped = index_points(feats, idx)  # [B, S, k, C]
+        grouped = _dgather(feats, idx)  # [B, S, k, C]
         return new_xyz, jnp.max(grouped, axis=2)
 
 
