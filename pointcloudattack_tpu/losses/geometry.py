@@ -121,7 +121,10 @@ def kappa_adv(
     set (loss_utils.py:83 recomputes it every call); attack loops that
     refresh it every R iterations pass a cached set (indices carry no
     tangent, so caching changes WHICH neighbours average — not the
-    gradient path through them).
+    gradient path through them).  The k indices in each row must be
+    DISTINCT (kNN sets are by construction): the TPU kernel path
+    rebuilds the selection as a column-membership mask, so a duplicated
+    value would contribute once rather than per-slot.
 
     Returns (kappa [B, N], normal [B, N, 3]).
     """

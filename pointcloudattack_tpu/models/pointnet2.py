@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from pointcloudattack_tpu.models.common import (
     FUSED_MAXPOOL,
     PointMLP,
+    fused_ballq_on,
     fused_chain_on,
     fused_gather_on,
 )
@@ -86,6 +87,47 @@ def _fused_gather_sa(
     layers = _collect_layers(parent, name, len(feats))
     pooled = gather_chain_groupmax(src, centers, idx, layers, layout, ip)
     return centers, nn.relu(pooled).astype(src.dtype)
+
+
+def _ball_fused_ok(
+    parent: nn.Module, family, src, layout, nsample, feats, train
+) -> bool:
+    """Static gate for the ball-query-in-kernel SA path (round-5
+    verdict task 3): per-family policy (fused_ballq_on, which itself
+    requires the gather tier) + the kernel's shape bounds."""
+    from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+        use_ball_gather_chain_kernel,
+    )
+
+    if (
+        train
+        or parent.is_initializing()
+        or not fused_ballq_on(family, src.dtype)
+    ):
+        return False
+    c0 = sum(s[2] - s[1] for s in layout)
+    return FUSED_MAXPOOL["interpret"] or use_ball_gather_chain_kernel(
+        src.shape[1], nsample, (c0, *feats), layout
+    )
+
+
+def _ball_fused_sa(
+    parent: nn.Module, name, feats, src, layout, xyz, new_xyz,
+    radius, nsample,
+):
+    """SA through ball_gather_chain_groupmax: neither the ball-query
+    one-hot nor the index array exists — membership is recomputed
+    in-VMEM (reference model/pointnet2_utils.py:84-155)."""
+    from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+        ball_gather_chain_groupmax,
+    )
+
+    layers = _collect_layers(parent, name, len(feats))
+    pooled = ball_gather_chain_groupmax(
+        src, new_xyz, xyz, layers, layout, radius, nsample,
+        FUSED_MAXPOOL["interpret"],
+    )
+    return nn.relu(pooled).astype(src.dtype)
 
 
 def _fused_group_mlp(
@@ -165,6 +207,20 @@ class SetAbstraction(nn.Module):
             else:
                 src, layout = xyz, (("diff", 0, 3, 0),)
 
+            if _ball_fused_ok(
+                self, self.family, src, layout, self.nsample, self.mlp,
+                train,
+            ):
+                fps_idx = farthest_point_sample(
+                    xyz, self.npoint, key=fps_key
+                )
+                new_xyz = index_points(xyz, fps_idx)
+                pooled = _ball_fused_sa(
+                    self, "mlp", self.mlp, src, layout, xyz, new_xyz,
+                    self.radius, self.nsample,
+                )
+                return new_xyz, pooled
+
             def sample_fn():
                 fps_idx = farthest_point_sample(
                     xyz, self.npoint, key=fps_key
@@ -215,29 +271,44 @@ class SetAbstractionMSG(nn.Module):
     ):
         fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
         new_xyz = index_points(xyz, fps_idx)
+        # reference concatenates FEATURES first, xyz-diff last
+        # (model/pointnet2_MSG.py:45-52)
+        if points is not None:
+            src = jnp.concatenate([xyz, points], axis=-1)
+            layout = (("pass", 3, src.shape[-1]), ("diff", 0, 3, 0))
+        else:
+            src, layout = xyz, (("diff", 0, 3, 0),)
         # one HIGHEST-precision distance matmul shared by every radius
         # scale (the reference recomputes it inside each query_ball_point,
-        # model/pointnet2_MSG.py:31-41 via pointnet2_utils.py:84-104)
+        # model/pointnet2_MSG.py:31-41 via pointnet2_utils.py:84-104) —
+        # computed lazily: scales on the ball-fused path (membership
+        # recomputed in-VMEM) never need it
         from pointcloudattack_tpu.ops.pairwise import pairwise_sqdist
 
-        sqr = pairwise_sqdist(new_xyz, xyz)
+        sqr_cache = []
+
+        def _sqr():
+            if not sqr_cache:
+                sqr_cache.append(pairwise_sqdist(new_xyz, xyz))
+            return sqr_cache[0]
+
         outs = []
         for i, (radius, k) in enumerate(
             zip(self.radius_list, self.nsample_list)
         ):
-            idx = query_ball_point(radius, k, xyz, new_xyz, sqr=sqr)
+            if _ball_fused_ok(
+                self, self.family, src, layout, k, self.mlp_list[i],
+                train,
+            ):
+                outs.append(_ball_fused_sa(
+                    self, f"branch{i}", self.mlp_list[i], src, layout,
+                    xyz, new_xyz, radius, k,
+                ))
+                continue
+            idx = query_ball_point(radius, k, xyz, new_xyz, sqr=_sqr())
             if fused_gather_on(self.family, xyz.dtype):
-                # reference concatenates FEATURES first, xyz-diff last
-                # (model/pointnet2_MSG.py:45-52); new_xyz/idx are
-                # already computed (shared across scales), so the
-                # sample_fn is free
-                if points is not None:
-                    src = jnp.concatenate([xyz, points], axis=-1)
-                    layout = (
-                        ("pass", 3, src.shape[-1]), ("diff", 0, 3, 0),
-                    )
-                else:
-                    src, layout = xyz, (("diff", 0, 3, 0),)
+                # new_xyz/idx are already computed (shared across
+                # scales), so the sample_fn is free
                 res = _fused_gather_sa(
                     self, f"branch{i}", self.mlp_list[i], src, layout,
                     k, train, lambda: (new_xyz, idx),

@@ -685,7 +685,9 @@ _OP_CACHE: dict = {}
 # "kernel engaged and parity holds" from "kernel silently not engaged"
 # — a bit-identical A/B row is otherwise ambiguous.  Counts traces,
 # not executions (jit caches replay without re-tracing).
-DISPATCH_COUNT = {"chain": 0, "group": 0, "groupmean": 0, "gather": 0}
+DISPATCH_COUNT = {
+    "chain": 0, "group": 0, "groupmean": 0, "gather": 0, "ballq": 0,
+}
 
 
 def _make_op(interpret: bool):

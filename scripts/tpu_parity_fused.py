@@ -225,6 +225,10 @@ def main():
     _ADVISORY = {"CurveNet+gather"}
 
     FUSED_MAXPOOL["gather"] = True
+    # pin ballq OFF here: these rows screen the gather tier itself (the
+    # ssg/msg policy would otherwise route their SAs through the ball
+    # kernel, which has its own rows below)
+    FUSED_MAXPOOL["ballq"] = False
     try:
         for model_key, batch, n in VICTIMS:
             # only grouped-op victims have the gather fusion wired
@@ -255,6 +259,52 @@ def main():
             print(f"# {tag}: {r}", file=sys.stderr, flush=True)
     finally:
         FUSED_MAXPOOL["gather"] = False
+        FUSED_MAXPOOL["ballq"] = None
+
+    # screen the in-kernel BALL QUERY tier (round-5 verdict task 3) on
+    # the two victims that dispatch it: fused arm = chain+gather+ballq,
+    # off arm = fully unfused (run_victim flips the master switch)
+    FUSED_MAXPOOL["gather"] = True
+    FUSED_MAXPOOL["ballq"] = True
+    try:
+        for model_key, batch, n in VICTIMS:
+            if model_key not in ("PointNet++Ssg", "PointNet++Msg"):
+                continue
+            tag = f"{model_key}+ballq"
+            try:
+                r = run_victim(model_key, batch, n, _for(tag))
+                engaged = bool(
+                    r.get("fused_arm_dispatched", {}).get("ballq")
+                )
+                r["ballq_engaged"] = engaged
+                if platform == "tpu" and not engaged:
+                    r["pass"] = False
+            except Exception as e:
+                r = {
+                    "error": f"{type(e).__name__}: {e}"[:200],
+                    "pass": False,
+                }
+            out[tag] = r
+            ok = ok and r["pass"]
+            print(f"# {tag}: {r}", file=sys.stderr, flush=True)
+    finally:
+        FUSED_MAXPOOL["gather"] = False
+        FUSED_MAXPOOL["ballq"] = None
+
+    # bf16 victim rows (round-5 verdict task 9): the bf16 attack path
+    # ships UNFUSED by policy (no Pallas risk), but its f32-parity claim
+    # previously rested on CPU tests + one bench arm only.  Screen every
+    # victim's bf16 forward + input gradient against its f32 twin, both
+    # on the unfused path, with bf16-systematic thresholds.
+    for model_key, batch, n in VICTIMS:
+        tag = f"{model_key}+bf16"
+        try:
+            r = run_bf16_victim(model_key, batch, n)
+        except Exception as e:
+            r = {"error": f"{type(e).__name__}: {e}"[:200], "pass": False}
+        out[tag] = r
+        ok = ok and r["pass"]
+        print(f"# {tag}: {r}", file=sys.stderr, flush=True)
 
     # screen the fused GeoA3 curvature kernel (ops/pallas/kappa_kernel):
     # forward + input gradient of the kappa term, fused vs XLA path
@@ -287,6 +337,71 @@ def main():
     out["all_pass"] = ok
     print(json.dumps(out))
     return 0 if ok else 1
+
+
+def run_bf16_victim(model_key: str, batch: int, n: int) -> dict:
+    """bf16 forward + input gradient vs the f32 twin, unfused policy
+    (the shipped bf16 configuration; FUSED_POLICY defaults every
+    family's *_bf16 tiers off).
+
+    bf16 deviates from f32 SYSTEMATICALLY (~bf16-eps per matmul), so
+    these are loose direction/finiteness screens: the claim under test
+    is "the bf16 victim computes the same function to bf16 precision",
+    which backs the bf16 attack path's ASR-parity contract
+    (tests/test_attacks.py::test_cw_bf16_forward_asr_parity pins the
+    kappa>=3 behavior on CPU; this row pins the hardware numerics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointcloudattack_tpu import models
+    from pointcloudattack_tpu.data.synthetic import make_synthetic_clouds
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    clouds, _ = make_synthetic_clouds(40, 1, n, seed=0)
+    x = jnp.asarray(np.asarray(clouds)[:1].repeat(batch, 0))
+    x = x + 1e-2 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    model = models.make_model(model_key, 40)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=n, batch=batch
+    )
+
+    def arm(dtype):
+        jax.clear_caches()
+        fn = make_model_fn(model, variables, compute_dtype=dtype)
+
+        def loss(a):
+            out = fn(a)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.shape[-1])))
+
+        y, g = jax.jit(lambda a: (fn(a), jax.grad(loss)(a)))(x)
+        return np.asarray(y, np.float32), np.asarray(g, np.float32)
+
+    y0, g0 = arm(None)
+    y1, g1 = arm(jnp.bfloat16)
+    fwd_diff = float(np.max(np.abs(y1 - y0)))
+    # direction screens, as in run_victim but at bf16-systematic scale
+    grad_scale = float(np.max(np.abs(g0))) or 1.0
+    flip_frac = float(np.mean(np.abs(g1 - g0) > 0.25 * grad_scale))
+    denom = float(np.linalg.norm(g0) * np.linalg.norm(g1)) or 1.0
+    grad_cos = float(np.sum(g0 * g1) / denom)
+    # agreement of the predicted class — recorded, not gated: these are
+    # RANDOM-INIT victims whose near-uniform logits sit at argmax
+    # near-ties, where a bf16-eps deviation legitimately flips the
+    # winner (trained victims have real margins; the kappa>=3 contract
+    # covers boundary-hugging — CLAUDE.md bf16 notes)
+    pred_match = float(np.mean(y0.argmax(-1) == y1.argmax(-1)))
+    return {
+        "fwd_max_abs_diff": fwd_diff,
+        "grad_cos": round(grad_cos, 6),
+        "grad_flip_frac": flip_frac,
+        "pred_match": pred_match,
+        "pass": bool(
+            np.isfinite(y1).all()
+            and np.isfinite(g1).all()
+            and grad_cos > 0.90
+        ),
+    }
 
 
 def run_chamfer_both(interpret: bool = False) -> dict:

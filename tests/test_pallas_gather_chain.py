@@ -188,9 +188,11 @@ def test_model_forward_bitexact_with_gather_fusion(model_key):
         FUSED_MAXPOOL["interpret"] = True
         # pin the chain tier ON in both arms (bit-exactness is a
         # gather-vs-chain contract; the shipped FUSED_POLICY turns the
-        # chain off for dgcnn)
+        # chain off for dgcnn) and the ballq tier OFF (it has its own
+        # test below — here the gather tier itself is under test)
         FUSED_MAXPOOL["enabled"] = True
         FUSED_MAXPOOL["gather"] = False
+        FUSED_MAXPOOL["ballq"] = False
         y0, g0 = fn(x), jax.grad(loss)(x)
         FUSED_MAXPOOL["gather"] = True
         y1, g1 = fn(x), jax.grad(loss)(x)
@@ -340,3 +342,136 @@ def test_bf16_src_smoke():
     )
     assert bool(jnp.all(jnp.isfinite(y)))
     np.testing.assert_allclose(y, y_ref, atol=3e-2)
+
+
+# ---------------------------------------------------------------------
+# In-kernel BALL QUERY variant (round-5 verdict task 3):
+# ball_gather_chain_groupmax must match query_ball_point followed by
+# gather_chain_groupmax — forward bitwise, dsrc/dctr bitwise (the SAME
+# kernels run, only the selection one-hot's construction differs), and
+# a ZERO xyz cotangent (ball membership is non-differentiable, like
+# query_ball_point's integer output).  Geometry is chosen away from the
+# r² ulp boundary (see _ball_slots docstring: XLA's fusion choices
+# already flip the expansion's last bit BETWEEN programs, so exact-
+# boundary points are unstable even unfused-vs-unfused).
+# ---------------------------------------------------------------------
+
+
+def _ball_case(seed=0, b=2, n=128, s=24, k=16, cp=8, layout_kind="ssg"):
+    rng = np.random.RandomState(seed)
+    xyz = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(b, n, cp).astype(np.float32))
+    src = jnp.concatenate([xyz, feats], axis=-1)
+    centers = xyz[:, :s, :]
+    if layout_kind == "ssg":
+        layout = (("diff", 0, 3, 0), ("pass", 3, 3 + cp))
+    else:  # MSG order: features first, xyz-diff last
+        layout = (("pass", 3, 3 + cp), ("diff", 0, 3, 0))
+    layers = _mk_layers(rng, (3 + cp, 32, 64))
+    return src, centers, xyz, layout, layers
+
+
+@pytest.mark.parametrize("layout_kind", ["ssg", "msg"])
+def test_ball_fused_bitexact_and_grads(layout_kind):
+    from pointcloudattack_tpu.ops.ball_query import query_ball_point
+    from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+        ball_gather_chain_groupmax,
+    )
+
+    src, centers, xyz, layout, layers = _ball_case(
+        layout_kind=layout_kind
+    )
+    radius, k = 0.25, 16
+    idx = query_ball_point(radius, k, xyz, centers)
+    y_ref = gather_chain_groupmax(
+        src, centers, idx, layers, layout, interpret=True
+    )
+    y = ball_gather_chain_groupmax(
+        src, centers, xyz, layers, layout, radius, k, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y))
+
+    gr = jax.grad(
+        lambda s_, c_: jnp.sum(jnp.sin(gather_chain_groupmax(
+            s_, c_, idx, layers, layout, interpret=True
+        ))),
+        (0, 1),
+    )(src, centers)
+    gb = jax.grad(
+        lambda s_, c_, x_: jnp.sum(jnp.sin(ball_gather_chain_groupmax(
+            s_, c_, x_, layers, layout, radius, k, interpret=True
+        ))),
+        (0, 1, 2),
+    )(src, centers, xyz)
+    np.testing.assert_array_equal(np.asarray(gr[0]), np.asarray(gb[0]))
+    np.testing.assert_array_equal(np.asarray(gr[1]), np.asarray(gb[1]))
+    assert not np.any(np.asarray(gb[2]))  # membership carries no grad
+
+
+def test_ball_fused_empty_and_overfull():
+    """Guaranteed-empty balls (centers 5 units away from every point —
+    the reference's degenerate fill gathers point 0) and overfull balls
+    (radius spanning the whole cloud: first-K-in-index-order pick)."""
+    from pointcloudattack_tpu.ops.ball_query import query_ball_point
+    from pointcloudattack_tpu.ops.pallas.gather_chain_kernel import (
+        ball_gather_chain_groupmax,
+    )
+
+    src, centers, xyz, layout, layers = _ball_case(seed=7)
+    k = 16
+    for radius, ctr in ((0.1, centers + 5.0), (2.0, centers)):
+        idx = query_ball_point(radius, k, xyz, ctr)
+        y_ref = gather_chain_groupmax(
+            src, ctr, idx, layers, layout, interpret=True
+        )
+        y = ball_gather_chain_groupmax(
+            src, ctr, xyz, layers, layout, radius, k, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y))
+        gr = jax.grad(lambda s_: jnp.sum(gather_chain_groupmax(
+            s_, ctr, idx, layers, layout, interpret=True
+        ) ** 2))(src)
+        gb = jax.grad(lambda s_: jnp.sum(ball_gather_chain_groupmax(
+            s_, ctr, xyz, layers, layout, radius, k, interpret=True
+        ) ** 2))(src)
+        np.testing.assert_array_equal(np.asarray(gr), np.asarray(gb))
+
+
+@pytest.mark.parametrize("model_key", ["PointNet++Ssg", "PointNet++Msg"])
+def test_model_forward_bitexact_with_ballq_fusion(model_key):
+    """SSG/MSG end-to-end: gather tier vs gather+ballq tier — the SA
+    outputs must agree bitwise (same kernels; selection recomputed
+    in-VMEM), and the ballq dispatch counter must prove engagement."""
+    from pointcloudattack_tpu import models
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+    from pointcloudattack_tpu.ops.pallas.dense_max_kernel import (
+        DISPATCH_COUNT,
+    )
+    from pointcloudattack_tpu.utils.apply import make_model_fn
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+    model = models.make_model(model_key, 10)
+    variables = models.init_model(
+        model, jax.random.PRNGKey(0), num_points=256, batch=2
+    )
+    fn = make_model_fn(model, variables, jit=False)
+
+    def loss(a):
+        return jnp.sum(fn(a) * jnp.cos(jnp.arange(10.0)))
+
+    prior = dict(FUSED_MAXPOOL)
+    try:
+        FUSED_MAXPOOL["interpret"] = True
+        FUSED_MAXPOOL["enabled"] = True
+        FUSED_MAXPOOL["gather"] = True
+        FUSED_MAXPOOL["ballq"] = False
+        y0, g0 = fn(x), jax.grad(loss)(x)
+        FUSED_MAXPOOL["ballq"] = True
+        before = DISPATCH_COUNT["ballq"]
+        y1, g1 = fn(x), jax.grad(loss)(x)
+        assert DISPATCH_COUNT["ballq"] > before
+    finally:
+        FUSED_MAXPOOL.update(prior)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
