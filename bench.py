@@ -138,6 +138,7 @@ def _flops_unfused(fn, *args):
     prior = dict(FUSED_MAXPOOL)
     FUSED_MAXPOOL["enabled"] = False
     FUSED_MAXPOOL["gather"] = False
+    FUSED_MAXPOOL["ballq"] = False
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu), force_xla_paths():

@@ -25,7 +25,8 @@ def render_classification(
     """Render a single [N, 3] cloud; returns (image, predicted class)."""
     import jax.numpy as jnp
 
-    pred = int(np.argmax(np.asarray(model_fn(jnp.asarray(cloud[None]))), -1))
+    logits = np.asarray(model_fn(jnp.asarray(cloud[None])))
+    pred = int(np.argmax(logits, -1).reshape(-1)[0])
     img = render_cloud(cloud, size=size)
     if path:
         save_ppm(path, img)

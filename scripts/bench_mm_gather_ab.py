@@ -46,7 +46,7 @@ def main() -> None:
         env = dict(os.environ, PCA_MM_GATHER_BWD=flag)
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--inner", "x"],
-            capture_output=True, text=True, env=env, timeout=3600,
+            capture_output=True, text=True, env=env, timeout=4200,
         )
         line = [ln for ln in r.stdout.splitlines()
                 if ln.startswith("INNER_JSON ")]

@@ -605,10 +605,12 @@ def test_fused_fallback_disables_and_retries():
 
     prior = dict(FUSED_MAXPOOL)
     FUSED_MAXPOOL["enabled"] = True
-    # pin the gather tier OFF so this test isolates the chain-tier
-    # fallback (tri-state default None = policy would make the tiered
-    # de-escalation try gather first — that path has its own test below)
+    # pin the gather/ballq tiers OFF so this test isolates the
+    # chain-tier fallback (tri-state default None = policy would make
+    # the tiered de-escalation try them first — those paths have their
+    # own tests below)
     FUSED_MAXPOOL["gather"] = False
+    FUSED_MAXPOOL["ballq"] = False
     _BUILD_MEMO["sentinel"] = object()
     calls = []
 
@@ -643,6 +645,7 @@ def test_fused_fallback_deescalates_gather_first():
     prior = dict(FUSED_MAXPOOL)
     FUSED_MAXPOOL["enabled"] = True
     FUSED_MAXPOOL["gather"] = True
+    FUSED_MAXPOOL["ballq"] = False  # the ballq tier has its own test
     states = []
     try:
         # failure disappears once gather is off: chain kernels survive
@@ -675,6 +678,35 @@ def test_fused_fallback_deescalates_gather_first():
         FUSED_MAXPOOL.update(prior)
 
 
+def test_fused_fallback_deescalates_ballq_before_gather():
+    """The ballq tier (in-kernel ball query) sits ABOVE gather in the
+    de-escalation order: a Mosaic failure disables ballq first; the
+    gather and chain tiers survive if the failure clears."""
+    from pointcloudattack_tpu.cli.main import _attack_with_fused_fallback
+    from pointcloudattack_tpu.models.common import FUSED_MAXPOOL
+
+    prior = dict(FUSED_MAXPOOL)
+    FUSED_MAXPOOL["enabled"] = True
+    FUSED_MAXPOOL["gather"] = True
+    FUSED_MAXPOOL["ballq"] = True
+    states = []
+    try:
+        def run_ballq_bad():
+            states.append((
+                FUSED_MAXPOOL["ballq"], FUSED_MAXPOOL["gather"],
+                FUSED_MAXPOOL["enabled"],
+            ))
+            if FUSED_MAXPOOL["ballq"]:
+                raise RuntimeError("Mosaic lowering failed for kernel")
+            return "ok"
+
+        assert _attack_with_fused_fallback(run_ballq_bad) == "ok"
+        assert states == [(True, True, True), (False, True, True)]
+        assert FUSED_MAXPOOL["gather"] and FUSED_MAXPOOL["enabled"]
+    finally:
+        FUSED_MAXPOOL.update(prior)
+
+
 def test_fused_fallback_reraises_unrelated_errors(monkeypatch):
     """A failure that is NOT a Mosaic/Pallas rejection must re-raise
     immediately (not silently disable the kernels and re-run a possibly
@@ -697,9 +729,10 @@ def test_fused_fallback_reraises_unrelated_errors(monkeypatch):
         monkeypatch.setenv("PCA_FUSED_FALLBACK_ANY", "1")
         # gather=False pins the broad-insurance path to a single tier;
         # tri-state None (policy) would count as "still on" and insert a
-        # gather-off retry first (tiered sequence pinned by
+        # gather/ballq-off retry first (tiered sequence pinned by
         # test_fused_fallback_deescalates_gather_first).
         FUSED_MAXPOOL["gather"] = False
+        FUSED_MAXPOOL["ballq"] = False
         calls = []
 
         def run():
