@@ -167,11 +167,17 @@ def _ball_onehot(slot, total, first, k, gpb):
     g hits the point with slot j, or the group's fill point when the
     ball holds fewer than j+1 points."""
     n = slot.shape[1]
-    kio = jax.lax.broadcasted_iota(jnp.float32, (k, n), 0)
+    # int32 iota + cast: Mosaic's tpu.iota only produces integer vectors
+    # (a float iota verifies under the CPU interpreter but is rejected on
+    # hardware — round-5 v5e screen)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0).astype(jnp.float32)
     rows = []
     for gi in range(gpb):
         ohg = (slot[gi : gi + 1, :] == kio).astype(jnp.float32)
-        validg = kio < total[gi : gi + 1, :1]  # row j live iff j < total
+        # scalar extract, NOT total[gi:gi+1, :1]: Mosaic cannot broadcast
+        # a [1,1] vector along sublanes AND lanes at once ("Broadcast in
+        # both sublanes and lanes", v5e), while scalar->vector is native
+        validg = kio < total[gi, 0]  # row j live iff j < total
         fillg = jnp.broadcast_to(first[gi : gi + 1, :], (k, n))
         rows.append(jnp.where(validg, ohg, fillg).astype(jnp.bfloat16))
     return jnp.concatenate(rows, axis=0)
@@ -186,11 +192,11 @@ def _ball_onehotT(slot, total, first, k, gpb):
     n = slot.shape[1]
     slot_t = jnp.swapaxes(slot, 0, 1)  # [N, gpb]
     first_t = jnp.swapaxes(first, 0, 1)
-    kio = jax.lax.broadcasted_iota(jnp.float32, (n, k), 1)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (n, k), 1).astype(jnp.float32)
     cols = []
     for gi in range(gpb):
         ohg = (slot_t[:, gi : gi + 1] == kio).astype(jnp.float32)
-        validg = kio < total[gi : gi + 1, :1]
+        validg = kio < total[gi, 0]  # scalar extract — see _ball_onehot
         fillg = jnp.broadcast_to(first_t[:, gi : gi + 1], (n, k))
         cols.append(jnp.where(validg, ohg, fillg).astype(jnp.bfloat16))
     return jnp.concatenate(cols, axis=1)
