@@ -340,21 +340,31 @@ def main():
 
 
 def run_bf16_victim(model_key: str, batch: int, n: int) -> dict:
-    """bf16 forward + input gradient vs the f32 twin, unfused policy
-    (the shipped bf16 configuration; FUSED_POLICY defaults every
-    family's *_bf16 tiers off).
+    """bf16 vs f32 ASR parity per victim (round-5 verdict task 9):
+    the shipped bf16 claim is "same ATTACK OUTCOME at a real margin"
+    (kappa>=3 — CLAUDE.md bf16 notes), so the gated metric is a short
+    untargeted CW run (kappa=3) per arm on the unfused-policy path
+    (FUSED_POLICY defaults every family's *_bf16 tiers off), not input-
+    gradient cosine: bf16 input grads through deep victims deviate
+    SYSTEMATICALLY (first hardware screen measured grad_cos 0.55-0.82
+    on SSG/MSG/DGCNN/CurveNet with pred_match 1.0 — direction fidelity
+    is the wrong contract for an iterated attack; the CPU twin is
+    tests/test_attacks.py::test_cw_bf16_forward_asr_parity).
 
-    bf16 deviates from f32 SYSTEMATICALLY (~bf16-eps per matmul), so
-    these are loose direction/finiteness screens: the claim under test
-    is "the bf16 victim computes the same function to bf16 precision",
-    which backs the bf16 attack path's ASR-parity contract
-    (tests/test_attacks.py::test_cw_bf16_forward_asr_parity pins the
-    kappa>=3 behavior on CPU; this row pins the hardware numerics)."""
+    Labels are the f32 arm's CLEAN predictions, so success = "pushed a
+    kappa=3 margin past the clean class" — well-defined on random-init
+    victims.  Gate: both arms finite, and bf16 ASR within one example
+    of f32 ASR.  Forward deviation + clean-pred agreement stay recorded
+    as advisory context."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from pointcloudattack_tpu import models
+    from pointcloudattack_tpu.attacks.cw import (
+        CWPerturbConfig,
+        build_cw_attack,
+    )
     from pointcloudattack_tpu.data.synthetic import make_synthetic_clouds
     from pointcloudattack_tpu.utils.apply import make_model_fn
 
@@ -365,41 +375,50 @@ def run_bf16_victim(model_key: str, batch: int, n: int) -> dict:
     variables = models.init_model(
         model, jax.random.PRNGKey(0), num_points=n, batch=batch
     )
+    # lr 0.05 x 100 iters: strong enough for a non-trivial ASR on these
+    # random-init victims (lr 0.01 x 50 measured ASR 0.0 — a vacuous
+    # 0==0 parity row); kappa=3 is the shipped bf16 safety contract
+    cfg = CWPerturbConfig(
+        binary_step=1, num_iter=100, kappa=3.0, attack_lr=0.05
+    )
 
     def arm(dtype):
         jax.clear_caches()
         fn = make_model_fn(model, variables, compute_dtype=dtype)
+        y = np.asarray(fn(x), np.float32)
+        labels = jnp.asarray(y.argmax(-1))
+        res = build_cw_attack(fn, cfg)(x, labels, jax.random.PRNGKey(2))
+        return (
+            y,
+            float(np.mean(np.asarray(res.success))),
+            np.asarray(res.best_attack, np.float32),
+        )
 
-        def loss(a):
-            out = fn(a)
-            return jnp.sum(out * jnp.cos(jnp.arange(out.shape[-1])))
+    y0, asr0, adv0 = arm(None)
+    # bf16 labels come from the f32 clean preds via the shared argmax
+    # below; the bf16 arm's own clean preds are advisory context only
+    jax.clear_caches()
+    fn16 = make_model_fn(model, variables, compute_dtype=jnp.bfloat16)
+    y1 = np.asarray(fn16(x), np.float32)
+    labels = jnp.asarray(y0.argmax(-1))
+    res16 = build_cw_attack(fn16, cfg)(x, labels, jax.random.PRNGKey(2))
+    asr1 = float(np.mean(np.asarray(res16.success)))
+    adv1 = np.asarray(res16.best_attack, np.float32)
 
-        y, g = jax.jit(lambda a: (fn(a), jax.grad(loss)(a)))(x)
-        return np.asarray(y, np.float32), np.asarray(g, np.float32)
-
-    y0, g0 = arm(None)
-    y1, g1 = arm(jnp.bfloat16)
     fwd_diff = float(np.max(np.abs(y1 - y0)))
-    # direction screens, as in run_victim but at bf16-systematic scale
-    grad_scale = float(np.max(np.abs(g0))) or 1.0
-    flip_frac = float(np.mean(np.abs(g1 - g0) > 0.25 * grad_scale))
-    denom = float(np.linalg.norm(g0) * np.linalg.norm(g1)) or 1.0
-    grad_cos = float(np.sum(g0 * g1) / denom)
-    # agreement of the predicted class — recorded, not gated: these are
-    # RANDOM-INIT victims whose near-uniform logits sit at argmax
-    # near-ties, where a bf16-eps deviation legitimately flips the
-    # winner (trained victims have real margins; the kappa>=3 contract
-    # covers boundary-hugging — CLAUDE.md bf16 notes)
     pred_match = float(np.mean(y0.argmax(-1) == y1.argmax(-1)))
     return {
+        "asr_f32": asr0,
+        "asr_bf16": asr1,
+        "kappa": cfg.kappa,
+        "iters": cfg.num_iter,
         "fwd_max_abs_diff": fwd_diff,
-        "grad_cos": round(grad_cos, 6),
-        "grad_flip_frac": flip_frac,
         "pred_match": pred_match,
         "pass": bool(
             np.isfinite(y1).all()
-            and np.isfinite(g1).all()
-            and grad_cos > 0.90
+            and np.isfinite(adv1).all()
+            and np.isfinite(adv0).all()
+            and asr1 >= asr0 - (1.0 / batch + 1e-6)
         ),
     }
 
