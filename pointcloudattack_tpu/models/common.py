@@ -71,9 +71,14 @@ FUSED_POLICY: dict = {
     # "ballq": in-kernel ball query on top of the gather fusion — the
     # [B, S, N, K] slot one-hot (SSG's measured forward bound, ~0.5
     # GB/iter: BENCH.md anatomy, round-5 verdict task 3) never exists.
-    # Measured v5e A/B in BENCH.md round 5.
-    "ssg": {"chain": True, "gather": True, "ballq": True},
-    "msg": {"chain": True, "gather": True, "ballq": True},
+    # Measured NEGATIVE on v5e (cw_ssg 17.0 -> 11.0, cw_msg 4.4 -> 2.6
+    # clouds/s, scripts/bench_ballq_ab.py): the membership + slot scan
+    # is recomputed per grid block on the VPU in BOTH kernel directions,
+    # which costs more than the one-time HBM one-hot it replaces —
+    # BENCH.md round-5 ledger.  Tier stays available via PCA_FUSED_BALLQ
+    # (hardware-bitwise-verified: results_fused_parity_v5e.json +ballq).
+    "ssg": {"chain": True, "gather": True, "ballq": False},
+    "msg": {"chain": True, "gather": True, "ballq": False},
     "dgcnn": {"chain": False, "gather": False},
     # CurveNet: pure XLA WINS (careful 3-arm A/B, B=8x100, 4 post-warmup
     # reps each: off 22.71 ms/iter = 3.52 clouds/s, chain 29.18 = 2.74,

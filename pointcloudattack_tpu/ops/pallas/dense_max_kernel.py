@@ -42,6 +42,7 @@ caller actually differentiates w.r.t. weights through the fused op.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +55,14 @@ try:  # pltpu only resolves on TPU-enabled installs
 except Exception:  # pragma: no cover
     _HAVE_PLTPU = False
 
-_TILE_N = 256
+# Rows per grid block of the dense chain kernels.  512 is the measured
+# default (round-5 tile A/B on the CW headline, v5e: 256 -> 177.5,
+# 512 -> 194.7, 1024 -> 123.4 clouds/s — 512 halves the per-block fixed
+# cost, 1024 trips VMEM pressure; BENCH.md "Chain row-tile A/B").  The
+# env knob exists for per-hardware tuning — every tile size is
+# numerically identical (masked max + first-index argmax combine are
+# blocking-invariant, pinned by the hardware parity screen).
+_TILE_N = int(os.environ.get("PCA_CHAIN_TILE", "512") or "512")
 _NEG = -3.0e38  # finite -inf stand-in: padded rows never win the max
 
 
