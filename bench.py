@@ -360,12 +360,12 @@ def bench_si_query():
         "clouds_per_sec": round(b / dt, 3),
         "clouds_per_sec_best": round(b / dt_min, 3),
         "sec_per_batch": round(dt, 4),
-        # the probe loop runs up to 2 victim forwards per point; iters=
-        # NUM_POINTS counts the scan body once per point (upper bound
-        # semantics identical to the other families' iters handling)
-        "mfu": _mfu(
-            attack, dt, data, target, iters=NUM_POINTS, key=("si_query",)
-        ),
+        # no MFU: the probe loop is an early-exit lax.while_loop
+        # (siadv.py:247) whose executed trip count is DATA-DEPENDENT —
+        # multiplying the scan-body count by the NUM_POINTS upper bound
+        # read 16x peak in the round-5 driver run.  Same convention as
+        # iso_lockstep (query-limited families report throughput only).
+        "mfu": None,
     }
 
 

@@ -263,7 +263,19 @@ def main():
 
     # screen the in-kernel BALL QUERY tier (round-5 verdict task 3) on
     # the two victims that dispatch it: fused arm = chain+gather+ballq,
-    # off arm = fully unfused (run_victim flips the master switch)
+    # off arm = fully unfused (run_victim flips the master switch).
+    # Pinned to the 256-row dense-chain tile: the tier ships policy-OFF
+    # (measured-negative, BENCH.md round-5 ledger) and was
+    # hardware-bitwise-verified at 256; at the round-5 default 512 the
+    # COMBINATION of the ballq kernels with MSG's 643-wide group_all
+    # dense chain in one program crashes the axon compile helper
+    # (HTTP 500 exit 1, reproducibly — the plain Msg row at 512 and
+    # Msg+ballq at 256 both compile), so the force-flag configuration
+    # documents 256 as its verified tile.
+    from pointcloudattack_tpu.ops.pallas import dense_max_kernel as _dmk
+
+    _tile_prior = _dmk._TILE_N
+    _dmk._TILE_N = 256
     FUSED_MAXPOOL["gather"] = True
     FUSED_MAXPOOL["ballq"] = True
     try:
@@ -290,12 +302,11 @@ def main():
     finally:
         FUSED_MAXPOOL["gather"] = False
         FUSED_MAXPOOL["ballq"] = None
+        _dmk._TILE_N = _tile_prior
 
     # bf16 victim rows (round-5 verdict task 9): the bf16 attack path
-    # ships UNFUSED by policy (no Pallas risk), but its f32-parity claim
-    # previously rested on CPU tests + one bench arm only.  Screen every
-    # victim's bf16 forward + input gradient against its f32 twin, both
-    # on the unfused path, with bf16-systematic thresholds.
+    # ships UNFUSED by policy (no Pallas risk), but the f32-ASR-parity
+    # claim previously rested on CPU tests + one bench arm only.
     for model_key, batch, n in VICTIMS:
         tag = f"{model_key}+bf16"
         try:
